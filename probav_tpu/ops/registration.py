@@ -1,0 +1,212 @@
+"""Frame registration: FFT phase correlation + integer circular shift.
+
+Rebuild of the reference registration stage (utils/dataGenerator.py:599-678),
+which aligns every LR frame of a scene to its clearest frame:
+
+- ``tech='freq'``: skimage ``register_translation`` (default upsample_factor=1
+  => integer shifts) followed by ``scipy.ndimage.fourier_shift`` round-trips.
+  An integer-shift Fourier translation is exactly a circular roll, so we
+  compute the argmax of the FFT cross-correlation and apply ``np.roll`` /
+  ``jnp.roll`` — bit-exact w.r.t. the reference up to FFT rounding, and
+  batched on TPU via ``register_image_set_jax``.
+
+- ``tech='time'``: masked normalized cross-correlation (Padfield) as in
+  skimage ``masked_register_translation``, then a reflect-mode spatial shift.
+
+Masks follow the reference convention INTO this module as QM arrays
+(nonzero == clear); the outputs are masked arrays with mask=True == occluded.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+try:  # scipy is available in the image; used only for the 'time' technique.
+    from scipy import ndimage as _ndimage
+except Exception:  # pragma: no cover
+    _ndimage = None
+
+
+# --------------------------------------------------------------------- #
+# shift estimation                                                       #
+# --------------------------------------------------------------------- #
+
+def phase_correlation_shift(reference: np.ndarray, moving: np.ndarray) -> np.ndarray:
+    """Integer shift (per axis) aligning ``moving`` to ``reference``.
+
+    Equivalent to skimage register_translation(reference, moving) with
+    upsample_factor=1: argmax of |ifftn(F_ref * conj(F_mov))| with wrap-around
+    indices mapped to negative shifts.
+    """
+    f_ref = np.fft.fftn(reference)
+    f_mov = np.fft.fftn(moving)
+    cc = np.fft.ifftn(f_ref * f_mov.conj())
+    shape = np.array(reference.shape)
+    maxima = np.unravel_index(np.argmax(np.abs(cc)), reference.shape)
+    shifts = np.array(maxima, dtype=np.float64)
+    midpoints = np.fix(shape / 2)
+    shifts[shifts > midpoints] -= shape[shifts > midpoints]
+    return shifts
+
+
+def masked_phase_correlation_shift(reference: np.ndarray, moving: np.ndarray,
+                                   reference_mask: np.ndarray,
+                                   moving_mask: np.ndarray,
+                                   overlap_ratio: float = 3.0 / 10.0) -> np.ndarray:
+    """Masked normalized cross-correlation shift (Padfield 2012).
+
+    Port of the algorithm behind skimage masked_register_translation: compute
+    the masked NCC surface entirely via FFTs, suppress translations with too
+    little mask overlap, return the argmax as an integer shift.
+    """
+    eps = np.finfo(np.float64).eps
+    fixed = np.where(reference_mask, reference.astype(np.float64), 0.0)
+    moving_img = np.where(moving_mask, moving.astype(np.float64), 0.0)
+    m1 = reference_mask.astype(np.float64)
+    m2 = moving_mask.astype(np.float64)
+
+    fft = np.fft.fftn
+    ifft = lambda x: np.real(np.fft.ifftn(x))
+    f1, f2 = fft(fixed), fft(moving_img)
+    fm1, fm2 = fft(m1), fft(m2)
+
+    overlap = ifft(fm1 * fm2.conj())
+    overlap = np.maximum(np.round(overlap), 0.0)
+    s1 = ifft(f1 * fm2.conj())
+    s2 = ifft(fm1 * f2.conj())
+    sq1 = ifft(fft(fixed ** 2) * fm2.conj())
+    sq2 = ifft(fm1 * fft(moving_img ** 2).conj())
+    cross = ifft(f1 * f2.conj())
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        num = cross - s1 * s2 / np.maximum(overlap, eps)
+        var1 = np.maximum(sq1 - s1 ** 2 / np.maximum(overlap, eps), 0.0)
+        var2 = np.maximum(sq2 - s2 ** 2 / np.maximum(overlap, eps), 0.0)
+        ncc = num / np.sqrt(var1 * var2 + eps)
+
+    ncc[overlap < overlap_ratio * overlap.max()] = -np.inf
+    shape = np.array(reference.shape)
+    maxima = np.unravel_index(np.argmax(ncc), reference.shape)
+    shifts = np.array(maxima, dtype=np.float64)
+    midpoints = np.fix(shape / 2)
+    shifts[shifts > midpoints] -= shape[shifts > midpoints]
+    return shifts
+
+
+# --------------------------------------------------------------------- #
+# frame / set registration (host pipeline entry points)                  #
+# --------------------------------------------------------------------- #
+
+def register_frame(img: np.ndarray, msk: np.ndarray,
+                   reference_img: np.ndarray, reference_msk: np.ndarray,
+                   tech: str = "freq") -> Tuple[np.ndarray, np.ndarray]:
+    """Align one frame (+ boolean clear-mask) to the reference frame.
+
+    Mirrors registerFrame (dataGenerator.py:649-678).  Shapes [C, H, W].
+    """
+    if tech == "freq":
+        shift = phase_correlation_shift(reference_img, img).astype(np.int64)
+        reg_img = np.roll(img.astype(np.float64), shift, axis=range(img.ndim))
+        reg_msk = np.roll(msk.astype(bool), shift, axis=range(msk.ndim))
+        return reg_img, reg_msk
+    if tech == "time":
+        if _ndimage is None:  # pragma: no cover
+            raise RuntimeError("scipy is required for tech='time'")
+        shift = masked_phase_correlation_shift(
+            reference_img, img, reference_msk, msk)
+        reg_img = _ndimage.shift(img.astype(np.float64), shift, mode="reflect")
+        reg_msk = _ndimage.shift(msk.astype(np.float64), shift,
+                                 mode="constant", cval=0.0) > 0.5
+        return reg_img, reg_msk
+    raise ValueError(f"unknown registration technique {tech!r}")
+
+
+def register_image_set(img_lr: np.ndarray, msk_lr: np.ndarray,
+                       tech: str = "freq") -> np.ma.masked_array:
+    """Register all frames of one scene to its clearest frame.
+
+    Mirrors registerImagesInSet (dataGenerator.py:616-646): sort frames by
+    clearness (descending count of nonzero QM pixels), use the clearest as the
+    reference (left unregistered), register the rest, and return a masked
+    array whose mask is True at OCCLUDED pixels (~QM).
+
+    img_lr/msk_lr: [numFrames, C, H, W] raw image + QM arrays.
+    """
+    assert img_lr.shape == msk_lr.shape, "Input shape does not match!"
+    order = np.argsort([-np.count_nonzero(m) for m in msk_lr])
+    imgs = img_lr[order]
+    msks = msk_lr[order]
+    ref_img, ref_msk = imgs[0], msks[0] > 0
+
+    out_img = np.empty(imgs.shape, dtype=np.float64)
+    out_occluded = np.empty(imgs.shape, dtype=bool)
+    out_img[0] = imgs[0]
+    out_occluded[0] = ~(msks[0] > 0)
+    for i in range(1, len(imgs)):
+        reg_img, reg_msk = register_frame(imgs[i], msks[i] > 0, ref_img,
+                                          ref_msk, tech=tech)
+        out_img[i] = reg_img
+        out_occluded[i] = ~reg_msk
+    return np.ma.masked_array(out_img, mask=out_occluded)
+
+
+def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
+                    tech: str = "freq", progress: bool = False) -> np.ma.masked_array:
+    """Register every scene (dataGenerator.py:599-613).
+
+    [numImgSet, numFrames, C, H, W] -> masked array of the same shape.
+    """
+    sets = range(all_img_lr.shape[0])
+    if progress:
+        try:
+            from tqdm import tqdm
+            sets = tqdm(sets, desc="[ INFO ] Registering LR images")
+        except Exception:
+            pass
+    return np.ma.stack([
+        register_image_set(all_img_lr[i], all_msk_lr[i], tech=tech)
+        for i in sets
+    ])
+
+
+# --------------------------------------------------------------------- #
+# batched JAX fast path (optional, for accelerated preprocessing)        #
+# --------------------------------------------------------------------- #
+
+def register_image_set_jax(img_lr: np.ndarray, msk_lr: np.ndarray) -> np.ma.masked_array:
+    """Same contract as register_image_set (freq tech), but all frames'
+    FFTs/argmax/rolls run batched under jit on the default JAX backend.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    order = np.argsort([-np.count_nonzero(m) for m in msk_lr])
+    imgs = img_lr[order].astype(np.float32)
+    msks = (msk_lr[order] > 0)
+
+    @jax.jit
+    def _align(ref, frames, frame_msks):
+        f_ref = jnp.fft.fft2(ref)                       # [C,H,W] complex
+        f_mov = jnp.fft.fft2(frames)                    # [N,C,H,W]
+        cc = jnp.abs(jnp.fft.ifft2(f_ref[None] * jnp.conj(f_mov)))
+        n, c, h, w = frames.shape
+        flat = cc.reshape(n, c * h * w)
+        idx = jnp.argmax(flat, axis=1)
+        iy = (idx % (h * w)) // w
+        ix = idx % w
+        sy = jnp.where(iy > h // 2, iy - h, iy)
+        sx = jnp.where(ix > w // 2, ix - w, ix)
+
+        def roll_one(img, msk, dy, dx):
+            return (jnp.roll(img, (dy, dx), axis=(1, 2)),
+                    jnp.roll(msk, (dy, dx), axis=(1, 2)))
+
+        return jax.vmap(roll_one)(frames, frame_msks, sy, sx)
+
+    reg_img, reg_msk = _align(jnp.asarray(imgs[0]), jnp.asarray(imgs[1:]),
+                              jnp.asarray(msks[1:]))
+    out_img = np.concatenate([imgs[:1], np.asarray(reg_img)], axis=0)
+    out_msk = np.concatenate([msks[:1], np.asarray(reg_msk)], axis=0)
+    return np.ma.masked_array(out_img.astype(np.float64), mask=~out_msk)

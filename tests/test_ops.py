@@ -1,0 +1,175 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from probav_tpu.ops import (
+    ShiftCompensatedLosses, sobel_edges, extract_patches, extract_patches_np,
+    reconstruct_from_patches, phase_correlation_shift, register_image_set,
+)
+from probav_tpu.ops.patches import depth_to_space
+from probav_tpu.ops.registration import register_image_set_jax
+
+from oracles import (
+    shift_losses_oracle, sobel_edges_oracle, unfold_patches_oracle,
+    fourier_register_oracle,
+)
+
+
+def make_batch(rng, b=3, size=48, c=1):
+    hr = rng.uniform(0, 65535, size=(b, size, size, c)).astype(np.float32)
+    mask = (rng.uniform(size=(b, size, size, c)) > 0.15).astype(np.float32)
+    pred = rng.uniform(0, 65535, size=(b, size, size, c)).astype(np.float32)
+    return hr, mask, pred
+
+
+class TestShiftLosses:
+    @pytest.fixture(scope="class")
+    def losses(self):
+        return ShiftCompensatedLosses(target_shape=(48, 48, 1), use_pallas=False)
+
+    def test_l1_matches_oracle(self, rng, losses):
+        hr, mask, pred = make_batch(rng)
+        want = shift_losses_oracle(hr, mask, pred)
+        got = jax.jit(losses.l1)(hr, mask, pred)
+        np.testing.assert_allclose(float(got), want["l1"], rtol=2e-4)
+
+    def test_l2_matches_oracle(self, rng, losses):
+        hr, mask, pred = make_batch(rng)
+        want = shift_losses_oracle(hr, mask, pred)
+        got = jax.jit(losses.l2)(hr, mask, pred)
+        np.testing.assert_allclose(float(got), want["l2"], rtol=2e-4)
+
+    def test_cpsnr_matches_oracle(self, rng, losses):
+        hr, mask, pred = make_batch(rng)
+        want = shift_losses_oracle(hr, mask, pred)
+        got = jax.jit(losses.cpsnr)(hr, mask, pred)
+        assert got.shape == (hr.shape[0],)
+        np.testing.assert_allclose(np.asarray(got), want["cpsnr"], rtol=1e-4)
+
+    def test_cpsnr_perfect_prediction_is_high(self, rng, losses):
+        # Under a full mask a perfect prediction saturates cPSNR.  (With mask
+        # holes it does NOT — occluded truth pixels still enter the residual,
+        # a reference contract we preserve; see module docstring.)
+        hr, mask, _ = make_batch(rng, b=2)
+        got = losses.cpsnr(hr, np.ones_like(mask), hr)
+        assert np.all(np.asarray(got) > 80.0)
+
+    def test_shift_compensation_recovers_translated_pred(self, rng, losses):
+        # A prediction translated by +-2px must incur (almost) no extra L2.
+        hr, mask, _ = make_batch(rng, b=1)
+        hr_s = np.asarray(jnp.ones_like(hr) * hr)
+        shifted = np.roll(hr_s, (2, 2), axis=(1, 2))
+        base = float(losses.l2(hr, np.ones_like(mask), hr))
+        shifted_loss = float(losses.l2(hr, np.ones_like(mask), shifted))
+        assert shifted_loss <= base + 1e-3
+
+    def test_brightness_bias_invariance(self, rng, losses):
+        # Constant brightness offsets are absorbed by the bias correction.
+        hr, mask, _ = make_batch(rng, b=2)
+        l_plain = float(losses.l1(hr, mask, hr))
+        l_offset = float(losses.l1(hr, mask, hr + 1234.5))
+        np.testing.assert_allclose(l_offset, l_plain, atol=2e-2)
+
+    def test_l1_edge_runs_and_beats_garbage(self, rng, losses):
+        hr, mask, pred = make_batch(rng, b=2)
+        good = float(losses.l1_edge(hr, mask, hr))
+        bad = float(losses.l1_edge(hr, mask, pred))
+        assert good < bad
+
+    def test_rev_msssim_runs(self, rng, losses):
+        hr, mask, pred = make_batch(rng, b=2)
+        val = float(losses.rev_msssim(hr, mask, pred))
+        assert np.isfinite(val)
+
+    def test_gradients_flow(self, rng, losses):
+        hr, mask, pred = make_batch(rng, b=2)
+        g = jax.grad(lambda p: losses.l1(hr, mask, p))(pred)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_by_name_dispatch(self, losses):
+        assert losses.by_name("l1") == losses.l1
+        assert losses.by_name("sobel_l1_mix") == losses.l1_edge
+        assert losses.by_name("l2") == losses.l2
+        assert losses.by_name("l1msssim") == losses.rev_msssim
+
+
+class TestSobel:
+    def test_matches_oracle(self, rng):
+        img = rng.uniform(0, 100, size=(2, 8, 9, 2)).astype(np.float32)
+        want = sobel_edges_oracle(img)
+        got = np.asarray(jax.jit(sobel_edges)(img))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+class TestPatches:
+    def test_np_matches_unfold_order(self, rng):
+        imgs = rng.uniform(size=(2, 3, 1, 20, 20)).astype(np.float32)
+        want = unfold_patches_oracle(imgs, patch=8, stride=4)
+        got = extract_patches_np(imgs, patch=8, stride=4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_jax_matches_np(self, rng):
+        imgs = rng.uniform(size=(2, 1, 22, 22)).astype(np.float32)
+        got = np.asarray(extract_patches(jnp.asarray(imgs), patch=16, stride=3))
+        want = extract_patches_np(imgs, patch=16, stride=3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_reconstruct_roundtrip(self, rng):
+        scene = rng.uniform(size=(384, 384, 1)).astype(np.float32)
+        patches = extract_patches_np(scene.transpose(2, 0, 1), 48, 48)
+        patches = patches.transpose(1, 2, 3, 0)  # [64, 48, 48, 1]
+        rec = np.asarray(reconstruct_from_patches(jnp.asarray(patches), 384))
+        np.testing.assert_array_equal(rec, scene)
+
+    def test_depth_to_space(self):
+        # Golden semantics: out[h*r+dh, w*r+dw] = in[h, w, dh*r+dw].
+        x = np.arange(1 * 2 * 2 * 9, dtype=np.float32).reshape(1, 2, 2, 9)
+        y = np.asarray(depth_to_space(jnp.asarray(x), 3))
+        assert y.shape == (1, 6, 6, 1)
+        for h in range(2):
+            for w in range(2):
+                for dh in range(3):
+                    for dw in range(3):
+                        assert y[0, h * 3 + dh, w * 3 + dw, 0] == x[0, h, w, dh * 3 + dw]
+
+
+class TestRegistration:
+    def test_phase_correlation_recovers_known_shift(self, rng):
+        base = rng.uniform(size=(1, 32, 32))
+        moved = np.roll(base, (0, 3, -5), axis=(0, 1, 2))
+        # Returns the shift to APPLY to `moved` to re-align it with `base`.
+        shift = phase_correlation_shift(base, moved)
+        np.testing.assert_array_equal(shift, [0, -3, 5])
+
+    def test_register_frame_matches_fourier_oracle(self, rng):
+        ref = rng.uniform(size=(1, 16, 16))
+        img = np.roll(ref, (0, -2, 4), axis=(0, 1, 2)) + rng.normal(0, 1e-3, (1, 16, 16))
+        msk = rng.uniform(size=(1, 16, 16)) > 0.2
+        shifts, want_img, want_msk = fourier_register_oracle(ref, img, msk)
+        from probav_tpu.ops.registration import register_frame
+        got_img, got_msk = register_frame(img, msk, ref, np.ones_like(msk, bool))
+        np.testing.assert_allclose(got_img, want_img, atol=1e-9)
+        np.testing.assert_array_equal(got_msk, want_msk)
+
+    def test_register_image_set_reference_frame_first(self, rng):
+        imgs = rng.uniform(0, 65535, size=(4, 1, 16, 16))
+        msks = (rng.uniform(size=(4, 1, 16, 16)) > 0.3).astype(np.uint16) * 255
+        msks[2] = 255  # frame 2 is the clearest -> becomes the reference
+        out = register_image_set(imgs, msks)
+        assert out.shape == imgs.shape
+        np.testing.assert_array_equal(out.data[0], imgs[2])
+        assert not out.mask[0].any()
+
+    def test_jax_set_matches_numpy_set(self, rng):
+        imgs = rng.uniform(0, 255, size=(3, 1, 16, 16)).astype(np.float32)
+        base = imgs[0]
+        imgs[1] = np.roll(base, (2, 1), axis=(1, 2))
+        imgs[2] = np.roll(base, (-1, 3), axis=(1, 2))
+        msks = np.full(imgs.shape, 255, dtype=np.uint16)
+        msks[0, :, :2] = 0  # make frame order deterministic: 1 or 2 clearest
+        a = register_image_set(imgs, msks)
+        b = register_image_set_jax(imgs, msks)
+        np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), atol=1e-2)
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
