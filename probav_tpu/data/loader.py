@@ -1,0 +1,84 @@
+"""Host-side input pipeline: shuffled batching + device prefetch.
+
+Replaces the reference's tf.data pipeline (utils/utils.py:32-39:
+from_tensor_slices -> shuffle(256) -> repeat -> batch -> prefetch) with a
+numpy batcher and an explicit double-buffered device prefetcher, so the next
+batch's host->device copy overlaps the current step's compute.
+
+Deviations from the reference, by design:
+- full-permutation shuffling per epoch instead of a 256-element shuffle
+  buffer (strictly better mixing; reproducible via seed), and
+- ``drop_remainder=True`` for training so every step has a static shape (no
+  XLA recompile for the ragged final batch; with per-epoch reshuffling every
+  sample is still seen across epochs).
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class Batcher:
+    """Iterate tuples of equally-indexed numpy arrays in shuffled batches."""
+
+    def __init__(self, arrays: Sequence[np.ndarray], batch_size: int,
+                 shuffle: bool = True, seed: int = 17,
+                 drop_remainder: bool = True):
+        n = len(arrays[0])
+        assert all(len(a) == n for a in arrays), "array length mismatch"
+        self.arrays = arrays
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def steps_per_epoch(self) -> int:
+        if self.drop_remainder:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def epoch(self) -> Iterator[tuple]:
+        idx = (self._rng.permutation(self.n) if self.shuffle
+               else np.arange(self.n))
+        end = (self.n - self.n % self.batch_size
+               if self.drop_remainder else self.n)
+        for start in range(0, end, self.batch_size):
+            take = idx[start:start + self.batch_size]
+            yield tuple(a[take] for a in self.arrays)
+
+    def repeat(self, epochs: Optional[int] = None) -> Iterator[tuple]:
+        counter = range(epochs) if epochs is not None else itertools.count()
+        for _ in counter:
+            yield from self.epoch()
+
+
+def prefetch_to_device(it: Iterable, size: int = 2,
+                       sharding=None) -> Iterator:
+    """Eagerly device_put up to ``size`` elements ahead of consumption."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    it = iter(it)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,281 @@
+"""Training runtime: jit/pjit step, checkpoint/resume, eval loop, logging.
+
+TPU-native rebuild of the reference trainer (models/trainClass.py:17-143):
+same externally-visible behavior — step-accurate resume (epoch position is
+derived from the restored global step), validation every ``eval_step`` steps
+over ``val_steps`` batches, optional save-best-only gating on validation
+cPSNR, checkpoint keep-5 — with the runtime redesigned for TPU:
+
+- one fused jit train step (forward + 49-shift loss + backward + optax
+  update) with donated buffers, compiled once for a static batch shape;
+- optional multi-chip execution: pass a Mesh and the step runs under pjit
+  with batch sharded over the 'data' axis and (optionally) the WDSR-B wide
+  channels sharded over 'model' (see probav_tpu.parallel) — gradient
+  all-reduce is inserted by the SPMD partitioner and rides ICI;
+- orbax checkpointing of (params, opt_state, step, best_psnr);
+- device-prefetched host input pipeline (probav_tpu.data.loader);
+- metrics kept on device until flushed (probav_tpu.train.metrics).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from probav_tpu.data.loader import Batcher, prefetch_to_device
+from probav_tpu.parallel.mesh import (
+    batch_sharding, replicated_sharding, state_shardings)
+from probav_tpu.train.metrics import Mean, ScalarLogger
+
+logger = logging.getLogger("probav_tpu.train")
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+class ModelTrainer:
+    """Drives training of a flax model with shift-compensated losses.
+
+    Arguments mirror the reference ModelTrainer (trainClass.py:25): model,
+    loss_fn/metric_fn with signature (hr, mask, pred), an optax optimizer,
+    checkpoint/log dirs.  ``mesh`` switches on multi-chip execution.
+    """
+
+    def __init__(self, model, loss_fn: Callable, metric_fn: Callable,
+                 optimizer: optax.GradientTransformation,
+                 ckpt_dir: str, log_dir: str,
+                 eval_step: int = 1000, mesh=None,
+                 tensor_parallel: bool = True, log_every: int = 20):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.metric_fn = metric_fn
+        self.tx = optimizer
+        self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
+        self.eval_step = eval_step
+        self.log_every = log_every
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.logger_ = ScalarLogger(log_dir)
+        self.best_psnr = 1.0   # reference init (trainClass.py:34)
+
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.ckpt_mngr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=5),
+        )
+
+        self.state: Optional[TrainState] = None
+        self._jit_train = None
+        self._jit_eval = None
+
+    # ------------------------------------------------------------------ #
+    # state init / checkpointing                                          #
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, sample_lr: np.ndarray, rng_seed: int = 0) -> TrainState:
+        """Initialize (or restore) parameters and optimizer state."""
+        variables = self.model.init(jax.random.PRNGKey(rng_seed),
+                                    jnp.asarray(sample_lr))
+        params = variables["params"]
+        state = TrainState(params=params, opt_state=self.tx.init(params),
+                           step=jnp.asarray(0, jnp.int32))
+        if self.mesh is not None:
+            shardings = state_shardings(state, self.mesh,
+                                        self.tensor_parallel)
+            state = jax.tree.map(
+                lambda x, s: jax.device_put(x, s), state, shardings,
+            )
+        self.state = state
+        self.restore()
+        return self.state
+
+    def restore(self) -> bool:
+        """Auto-resume from the latest checkpoint (trainClass.py:56-59)."""
+        latest = self.ckpt_mngr.latest_step()
+        if latest is None:
+            return False
+        target = {
+            "state": jax.tree.map(np.asarray, self.state),
+            "best_psnr": self.best_psnr,
+        }
+        restored = self.ckpt_mngr.restore(
+            latest, args=self._ocp.args.StandardRestore(target))
+        self.state = jax.tree.map(jnp.asarray, restored["state"])
+        self.best_psnr = float(restored["best_psnr"])
+        logger.info("[ INFO ] Model restored from checkpoint at step %d.",
+                    int(self.state.step))
+        return True
+
+    def save(self) -> None:
+        payload = {
+            "state": jax.tree.map(np.asarray, self.state),
+            "best_psnr": float(self.best_psnr),
+        }
+        self.ckpt_mngr.save(int(self.state.step),
+                            args=self._ocp.args.StandardSave(payload))
+        self.ckpt_mngr.wait_until_finished()
+
+    # ------------------------------------------------------------------ #
+    # compiled steps                                                      #
+    # ------------------------------------------------------------------ #
+
+    def _build_steps(self):
+        model, loss_fn, metric_fn, tx = (self.model, self.loss_fn,
+                                         self.metric_fn, self.tx)
+
+        def train_step(state: TrainState, lr, hr, mask):
+            def objective(params):
+                pred = model.apply({"params": params}, lr)
+                return loss_fn(hr, mask, pred), pred
+
+            (loss, pred), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            metric = jnp.mean(metric_fn(hr, mask, pred))
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+            return new_state, loss, metric
+
+        def eval_step(state: TrainState, lr, hr, mask):
+            pred = model.apply({"params": state.params}, lr)
+            return loss_fn(hr, mask, pred), jnp.mean(metric_fn(hr, mask, pred))
+
+        if self.mesh is None:
+            self._jit_train = jax.jit(train_step, donate_argnums=0)
+            self._jit_eval = jax.jit(eval_step)
+        else:
+            st_sh = state_shardings(self.state, self.mesh,
+                                    self.tensor_parallel)
+            b_sh = batch_sharding(self.mesh)
+            r_sh = replicated_sharding(self.mesh)
+            self._jit_train = jax.jit(
+                train_step, donate_argnums=0,
+                in_shardings=(st_sh, b_sh, b_sh, b_sh),
+                out_shardings=(st_sh, r_sh, r_sh))
+            self._jit_eval = jax.jit(
+                eval_step,
+                in_shardings=(st_sh, b_sh, b_sh, b_sh),
+                out_shardings=(r_sh, r_sh))
+
+    # ------------------------------------------------------------------ #
+    # fit loop (reference fitTrainData, trainClass.py:61-122)             #
+    # ------------------------------------------------------------------ #
+
+    def fit(self, x: np.ndarray, y: Sequence[np.ndarray],
+            batch_size: int, epochs: int,
+            val_data: Sequence[np.ndarray],
+            val_steps: int = 64, save_best_only: bool = True,
+            init_epoch: int = 0, seed: int = 17) -> dict:
+        hr, mask = y
+        if self.state is None:
+            self.init_state(x[:1])
+        if self._jit_train is None:
+            self._build_steps()
+
+        train_batcher = Batcher((x, hr, mask), batch_size, seed=seed)
+        val_batcher = Batcher(tuple(val_data), batch_size, seed=seed + 1)
+
+        total_steps = max(1, len(x) // batch_size)
+        global_step = int(self.state.step)
+        step = global_step % total_steps
+        epoch = init_epoch
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+
+        train_loss, train_psnr = Mean("trainLoss"), Mean("trainPSNR")
+        last = {"val_psnr": float("nan"), "val_loss": float("nan")}
+        t_start = time.time()
+        seen = 0
+
+        logger.info("[ INFO ] Begin training...")
+        stream = prefetch_to_device(train_batcher.repeat(epochs),
+                                    sharding=sharding)
+        for lr_b, hr_b, mask_b in stream:
+            if (total_steps - step) == 0:
+                epoch += 1
+                step = int(self.state.step) % total_steps
+                logger.info("[ *** NEW EPOCH *** ] Epoch number %d", epoch)
+                train_loss.reset()
+                train_psnr.reset()
+            step += 1
+            global_step += 1
+            self.state, loss, metric = self._jit_train(
+                self.state, lr_b, hr_b, mask_b)
+            train_loss.update(loss)
+            train_psnr.update(metric)
+            seen += len(lr_b)
+
+            if global_step % self.log_every == 0 or step == total_steps:
+                tl, tp = train_loss.result(), train_psnr.result()
+                logger.info(
+                    "[ EPOCH %d/%d ] - [ STEP %d/%d ] Loss: %.6f, cPSNR: %.3f",
+                    epoch, epochs, step, total_steps, tl, tp)
+                self.logger_.scalar("Train PSNR", tp, global_step)
+                self.logger_.scalar("Train loss", tl, global_step)
+
+            if step != 0 and (step % self.eval_step) == 0:
+                val_loss, val_psnr = self.evaluate(val_batcher, val_steps,
+                                                   sharding)
+                last.update(val_psnr=val_psnr, val_loss=val_loss)
+                self.logger_.scalar("Test loss", val_loss, global_step)
+                self.logger_.scalar("Test PSNR", val_psnr, global_step)
+                logger.info("[ *** VAL *** ] loss: %.6f, PSNR: %.3f",
+                            val_loss, val_psnr)
+                self.logger_.flush()
+                if save_best_only and val_psnr <= self.best_psnr:
+                    continue
+                self.best_psnr = max(self.best_psnr, val_psnr)
+                logger.info("[ SAVE ] Saving checkpoint...")
+                self.save()
+
+        # Final validation + checkpoint so short runs (or eval_step larger
+        # than an epoch) still leave a restorable artifact.  The reference
+        # only saves at eval points (trainClass.py:117-122); this is a
+        # deliberate robustness addition.
+        elapsed = time.time() - t_start
+        if global_step > 0:
+            val_loss, val_psnr = self.evaluate(val_batcher, val_steps,
+                                               sharding)
+            last.update(val_psnr=val_psnr, val_loss=val_loss)
+            self.logger_.scalar("Test loss", val_loss, global_step)
+            self.logger_.scalar("Test PSNR", val_psnr, global_step)
+            if not save_best_only or val_psnr > self.best_psnr:
+                self.best_psnr = max(self.best_psnr, val_psnr)
+                self.save()
+        self.logger_.flush()
+        return {
+            "steps": global_step,
+            "epochs": epoch,
+            "train_loss": train_loss.result(),
+            "train_psnr": train_psnr.result(),
+            "patches_per_sec": seen / elapsed if elapsed > 0 else 0.0,
+            **last,
+        }
+
+    def evaluate(self, val_batcher: Batcher, val_steps: int,
+                 sharding=None) -> tuple:
+        test_loss, test_psnr = Mean("testLoss"), Mean("testPSNR")
+        it = prefetch_to_device(val_batcher.epoch(), sharding=sharding)
+        for i, (lr_b, hr_b, mask_b) in enumerate(it):
+            if i >= val_steps:
+                break
+            loss, metric = self._jit_eval(self.state, lr_b, hr_b, mask_b)
+            test_loss.update(loss)
+            test_psnr.update(metric)
+        return test_loss.result(), test_psnr.result()

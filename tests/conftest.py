@@ -6,12 +6,19 @@ top of conftest (pytest imports it before test modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — undo it so tests run on the
+# virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,162 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from probav_tpu.data.loader import Batcher, prefetch_to_device
+from probav_tpu.models import WDSRConv3D
+from probav_tpu.ops import ShiftCompensatedLosses
+from probav_tpu.parallel import make_mesh, param_shardings, state_shardings
+from probav_tpu.train import ModelTrainer, build_optimizer, Mean
+
+
+def tiny_setup(tmp_path, mesh=None, num_filters=4, blocks=1):
+    model = WDSRConv3D(scale=3, num_filters=num_filters, num_res_blocks=blocks,
+                       exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                       patch_size_lr=16, mean=100.0, std=50.0)
+    losses = ShiftCompensatedLosses(target_shape=(48, 48, 1), use_pallas=False)
+    tx = build_optimizer("nadam", 1e-3)
+    trainer = ModelTrainer(model, losses.l1, losses.cpsnr, tx,
+                           ckpt_dir=str(tmp_path / "ckpt"),
+                           log_dir=str(tmp_path / "logs"),
+                           eval_step=2, mesh=mesh, log_every=1)
+    return model, trainer
+
+
+def tiny_data(rng, n=16):
+    x = rng.uniform(50, 150, (n, 22, 22, 9, 1)).astype(np.float32)
+    hr = rng.uniform(50, 150, (n, 48, 48, 1)).astype(np.float32)
+    mask = np.ones_like(hr, dtype=np.float32)
+    return x, hr, mask
+
+
+class TestBatcher:
+    def test_shapes_and_determinism(self, rng):
+        x = np.arange(10)[:, None]
+        b1 = list(Batcher((x,), 3, seed=5).epoch())
+        b2 = list(Batcher((x,), 3, seed=5).epoch())
+        assert len(b1) == 3  # drop remainder
+        np.testing.assert_array_equal(b1[0][0], b2[0][0])
+
+    def test_epoch_covers_all_without_shuffle(self):
+        x = np.arange(9)[:, None]
+        got = np.concatenate([b[0] for b in
+                              Batcher((x,), 3, shuffle=False).epoch()])
+        np.testing.assert_array_equal(got.ravel(), np.arange(9))
+
+    def test_prefetch_preserves_order(self):
+        x = np.arange(12)[:, None]
+        batches = list(Batcher((x,), 4, shuffle=False).epoch())
+        fetched = list(prefetch_to_device(batches, size=2))
+        assert len(fetched) == len(batches)
+        np.testing.assert_array_equal(np.asarray(fetched[0][0]),
+                                      batches[0][0])
+
+
+class TestMean:
+    def test_streaming(self):
+        m = Mean()
+        for v in (1.0, 2.0, 3.0):
+            m.update(v)
+        assert m.result() == pytest.approx(2.0)
+        m.reset()
+        assert np.isnan(m.result())
+
+
+class TestTrainerSingleDevice:
+    def test_loss_decreases_and_resume(self, tmp_path, rng):
+        x, hr, mask = tiny_data(rng, n=16)
+        model, trainer = tiny_setup(tmp_path)
+        trainer.init_state(x[:1])
+        res = trainer.fit(x, [hr, mask], batch_size=8, epochs=6,
+                          val_data=[x, hr, mask], val_steps=1,
+                          save_best_only=False)
+        assert res["steps"] == 12
+        assert np.isfinite(res["train_loss"])
+        # checkpoint was written at eval points
+        assert trainer.ckpt_mngr.latest_step() is not None
+
+        # fresh trainer restores state and continues at the right step
+        model2, trainer2 = tiny_setup(tmp_path)
+        trainer2.init_state(x[:1])
+        assert int(trainer2.state.step) == trainer.ckpt_mngr.latest_step()
+
+    def test_training_actually_learns(self, tmp_path, rng):
+        # Constant-upsample task: loss should drop markedly in a few steps.
+        x, hr, mask = tiny_data(rng, n=8)
+        hr = np.repeat(np.repeat(x[:, 3:19, 3:19, 0, :], 3, 1), 3, 2)
+        model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                           exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                           patch_size_lr=16, mean=100.0, std=50.0)
+        losses = ShiftCompensatedLosses((48, 48, 1), use_pallas=False)
+        trainer = ModelTrainer(model, losses.l1, losses.cpsnr,
+                               build_optimizer("nadam", 1e-2),
+                               ckpt_dir=str(tmp_path / "ckpt"),
+                               log_dir=str(tmp_path / "logs"),
+                               eval_step=1000, log_every=50)
+        trainer.init_state(x[:1])
+        before = float(losses.l1(hr, mask, model.apply(
+            {"params": trainer.state.params}, x)))
+        trainer.fit(x, [hr, mask], batch_size=8, epochs=60,
+                    val_data=[x, hr, mask], val_steps=1,
+                    save_best_only=False)
+        after = float(losses.l1(hr, mask, model.apply(
+            {"params": trainer.state.params}, x)))
+        assert after < before * 0.7, (before, after)
+
+
+class TestTrainerMesh:
+    def test_dp_mesh_step_runs(self, tmp_path, rng):
+        mesh = make_mesh(num_data=4, num_model=2)
+        x, hr, mask = tiny_data(rng, n=16)
+        model, trainer = tiny_setup(tmp_path, mesh=mesh)
+        trainer.init_state(x[:1])
+        res = trainer.fit(x, [hr, mask], batch_size=8, epochs=2,
+                          val_data=[x, hr, mask], val_steps=1,
+                          save_best_only=False)
+        assert res["steps"] == 4
+        assert np.isfinite(res["train_loss"])
+
+    def test_dp_matches_single_device_loss(self, tmp_path, rng):
+        # Same data, same init -> first-step loss identical on 1 vs 8 chips.
+        x, hr, mask = tiny_data(rng, n=8)
+        _, t1 = tiny_setup(tmp_path / "a")
+        t1.init_state(x[:1], rng_seed=7)
+        t1._build_steps()
+        _, l1_, _ = t1._jit_train(t1.state, x, hr, mask)
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        _, t2 = tiny_setup(tmp_path / "b", mesh=mesh)
+        t2.init_state(x[:1], rng_seed=7)
+        t2._build_steps()
+        _, l2_, _ = t2._jit_train(t2.state, x, hr, mask)
+        np.testing.assert_allclose(float(l1_), float(l2_), rtol=1e-5)
+
+    def test_param_shardings_rules(self, rng):
+        mesh = make_mesh(num_data=4, num_model=2)
+        model = WDSRConv3D(num_filters=4, num_res_blocks=1, exp_rate=2,
+                           mean=0.0, std=1.0)
+        x = jnp.zeros((1, 22, 22, 9, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        sh = param_shardings(params, mesh)
+        exp = sh["expConv_0"]["kernel_v"].spec
+        assert exp[-1] == "model"
+        dec = sh["decConv_0"]["kernel_v"].spec
+        assert dec[-2] == "model"
+        main = sh["mainConv1"]["kernel_v"].spec
+        assert all(s is None for s in main)
+
+
+class TestOptim:
+    def test_staged_decay_values(self):
+        from probav_tpu.train.optim import staged_decay
+        sched = staged_decay(1e-3, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(100)) == pytest.approx(5e-4)
+        assert float(sched(200)) == pytest.approx(1e-4)
+
+    def test_build_all(self):
+        for name in ("adam", "nadam", "sgd"):
+            assert build_optimizer(name, 1e-3) is not None
+        with pytest.raises(ValueError):
+            build_optimizer("lamb", 1e-3)
