@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Preprocessing CLI — mirrors the reference ``utils/dataGenerator.py``.
+
+    python3 data_generator.py --cfg cfg/p16t9c85r12.cfg --band NIR
+
+Runs the five resumable pipeline stages selected by the cfg ``ckpt`` list
+(override with ``--ckpt 2,3``).  ``--tech time`` switches registration to
+masked time-domain cross-correlation (reference tech='time' path).
+"""
+
+import argparse
+import logging
+
+logging.basicConfig(format="%(asctime)s - %(message)s", level=logging.INFO)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="cfg/p16t9c85r12.cfg", type=str)
+    p.add_argument("--band", default="NIR", type=str)
+    p.add_argument("--ckpt", default=None, type=str,
+                   help="comma-separated stage list overriding the cfg")
+    p.add_argument("--tech", default="freq", choices=["freq", "time"])
+    p.add_argument("--seed", default=0, type=int)
+    return p.parse_args()
+
+
+def main():
+    opt = parse_args()
+    from probav_tpu.config import Config
+    from probav_tpu.data import pipeline
+
+    cfg = Config.from_file(opt.cfg)
+    ckpts = ([int(x) for x in opt.ckpt.split(",")]
+             if opt.ckpt else None)
+    logging.info("[ CFG - INFO ] Using %s as config file...", opt.cfg)
+    pipeline.run(cfg, opt.band, ckpts=ckpts,
+                 registration_tech=opt.tech, seed=opt.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Evaluation CLI — mirrors the reference ``evaluate.py`` entry point.
+
+    python3 evaluate.py --cfg cfg/p16t9c85r12.cfg \
+        --toCompare <candidate_scene_dir> --benchmark <benchmark_scene_dir>
+
+Scores both directories of predicted scenes against the stage-2 HR ground
+truth with the shift-compensated cPSNR, prints per-band means, and writes
+``comparison.png`` (benchmark-vs-candidate scatter).  With ``--norm-csv``
+(the ESA per-scene baseline file) it also prints the leaderboard-style
+normalized score (lower is better).
+"""
+
+import argparse
+import logging
+
+import numpy as np
+
+logging.basicConfig(format="%(asctime)s - %(message)s", level=logging.INFO)
+logger = logging.getLogger("evaluate")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", type=str, default="cfg/p16t9c85r12.cfg")
+    p.add_argument("--toCompare", type=str, required=True)
+    p.add_argument("--benchmark", type=str, required=True)
+    p.add_argument("--red-count", type=int, default=594,
+                   help="sorted scenes [0, N) are RED, the rest NIR")
+    p.add_argument("--bands", type=str, default="RED,NIR",
+                   help="comma list of bands with stage-2 HR artifacts")
+    p.add_argument("--norm-csv", type=str, default=None)
+    p.add_argument("--out", type=str, default="comparison.png")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_args()
+    from probav_tpu.config import Config
+    from probav_tpu.evaluation import (compare_runs, scatter_plot,
+                                       load_norm_csv, normalized_score)
+
+    cfg = Config.from_file(opt.cfg)
+    bands = tuple(b.strip().upper() for b in opt.bands.split(",") if b.strip())
+    results = compare_runs(cfg.preprocessing_out, opt.benchmark,
+                           opt.toCompare, red_count=opt.red_count,
+                           bands=bands)
+    for band, r in results.items():
+        logger.info("[ %s ] benchmark mean cPSNR %.3f | candidate %.3f",
+                    band, float(np.mean(r["benchmark"])),
+                    float(np.mean(r["candidate"])))
+    out = scatter_plot(results, opt.out)
+    logger.info("[ SAVE ] %s", out)
+
+    if opt.norm_csv:
+        norms = load_norm_csv(opt.norm_csv)
+        scores = {}
+        idx = 0
+        for band in results:
+            for v in results[band]["candidate"]:
+                scores[f"imgset{idx:04d}"] = float(v)
+                idx += 1
+        logger.info("[ SCORE ] normalized (lower is better): %.4f",
+                    normalized_score(scores, norms))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Stage 5 — train/val split and augmentation.
+
+Rebuild of splitPatches / augmentBy* (utils/dataGenerator.py:276-323):
+
+- the split delegates to sklearn ``train_test_split(test_size=split,
+  random_state=17)`` for bit-compatible fold membership with the reference;
+- temporal-permutation augmentation concatenates ``num_permute`` random
+  frame-order shuffles of the LR stack (HR side is tiled to match);
+- flip (V, H, VH) and rot90 (x1, x2, x3) quadruple the set each.
+
+LR layout here is the model layout [N, H, W, T, C]; HR is [N, H, W, 1].
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def split_patches(patches_lr: np.ma.masked_array,
+                  patches_hr: np.ma.masked_array,
+                  split: float, seed: int = 17) -> List[np.ma.masked_array]:
+    """Deterministic train/val split (dataGenerator.py:276-286)."""
+    from sklearn.model_selection import train_test_split
+
+    lr, lr_val, m_lr, m_lr_val, hr, hr_val, m_hr, m_hr_val = train_test_split(
+        np.asarray(patches_lr), np.ma.getmaskarray(patches_lr),
+        np.asarray(patches_hr), np.ma.getmaskarray(patches_hr),
+        test_size=split, random_state=seed)
+    return [
+        np.ma.masked_array(lr, mask=m_lr),
+        np.ma.masked_array(lr_val, mask=m_lr_val),
+        np.ma.masked_array(hr, mask=m_hr),
+        np.ma.masked_array(hr_val, mask=m_hr_val),
+    ]
+
+
+def augment_by_shuffling(patch_lr: np.ma.masked_array, num_permute: int,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> np.ma.masked_array:
+    """Concat temporal permutations of [N, H, W, T, C] LR stacks."""
+    if num_permute == 0:
+        return patch_lr
+    rng = rng or np.random.default_rng(0)
+    t = patch_lr.shape[3]
+    cache = [patch_lr]
+    for _ in range(num_permute):
+        idx = rng.permutation(t)
+        cache.append(patch_lr[:, :, :, idx, :])
+    return np.ma.concatenate(cache)
+
+
+def augment_by_flipping(patches: np.ma.masked_array) -> np.ma.masked_array:
+    flip_v = patches[:, ::-1]
+    flip_h = patches[:, :, ::-1]
+    flip_vh = patches[:, ::-1, ::-1]
+    return np.ma.concatenate((patches, flip_v, flip_h, flip_vh))
+
+
+def augment_by_rotating(patches: np.ma.masked_array) -> np.ma.masked_array:
+    r90 = np.rot90(patches, k=1, axes=(1, 2))
+    r180 = np.rot90(patches, k=2, axes=(1, 2))
+    r270 = np.rot90(patches, k=3, axes=(1, 2))
+    return np.ma.concatenate((patches, r90, r180, r270))
+
+
+def tile_hr_for_permutations(patches_hr: np.ma.masked_array,
+                             num_permute: int) -> np.ma.masked_array:
+    """HR counterpart of temporal permutation: plain tiling along N
+    (dataGenerator.py:261); data and mask are tiled in lockstep.
+    """
+    if num_permute == 0:
+        return patches_hr
+    reps = (num_permute + 1,) + (1,) * (patches_hr.ndim - 1)
+    return np.ma.masked_array(np.tile(np.asarray(patches_hr), reps),
+                              mask=np.tile(np.ma.getmaskarray(patches_hr), reps))

@@ -1,0 +1,208 @@
+"""Quality control: scene filtering, top-k frame pick, patch cleaning.
+
+Rebuild of the reference's mask-driven QC (utils/dataGenerator.py:326-515,
+681-841), with the per-frame Python loops replaced by vectorized numpy over
+whole scenes/patch-sets.  Semantics preserved exactly:
+
+- "clear enough" means occluded-fraction < (1 - clarity_threshold), where the
+  occluded count is over the frame's full [C, H, W] mask but the denominator
+  is H*W only (reference quirk, dataGenerator.py:760-762);
+- scenes are dropped only if NO LR frame is clear enough;
+- the top-k frame pick first removes frames below the threshold and, if fewer
+  than k remain, resamples random permutations of the clear frames until k
+  ("duplicates as regularization", dataGenerator.py:811-821);
+- patch-level frame replacement keeps frames >= threshold, falls back to all
+  frames when none survive, tiles ceil(k/len) copies, re-sorts by clearness,
+  keeps exactly k (dataGenerator.py:362-409);
+- HR patches below the threshold are dropped, and whole scenes are dropped
+  when every HR patch fails (dataGenerator.py:412-515).
+
+Randomness is injected via an explicit ``numpy.random.Generator`` (the
+reference used the global numpy RNG, i.e. irreproducible runs).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def occluded_fraction(mask: np.ndarray) -> np.ndarray:
+    """Occluded-pixel fraction per frame: mask [..., C, H, W] -> [...]."""
+    c, h, w = mask.shape[-3:]
+    return np.count_nonzero(mask, axis=(-3, -2, -1)) / (h * w)
+
+
+def is_frame_clear(mask: np.ndarray, clarity_threshold: float) -> np.ndarray:
+    return occluded_fraction(mask) < (1.0 - clarity_threshold)
+
+
+# --------------------------------------------------------------------- #
+# scene-level QC (stage 2)                                               #
+# --------------------------------------------------------------------- #
+
+def scene_keep_mask(img_msk_lr, clarity_threshold: float) -> np.ndarray:
+    """True per scene iff at least one LR frame is clear enough."""
+    return np.array([
+        bool(is_frame_clear(np.ma.getmaskarray(scene), clarity_threshold).any())
+        for scene in img_msk_lr
+    ])
+
+
+def remove_corrupted_train_sets(img_msk_lr, img_msk_hr,
+                                clarity_threshold: float):
+    keep = scene_keep_mask(img_msk_lr, clarity_threshold)
+    removed = np.arange(len(img_msk_lr))[~keep]
+    return img_msk_lr[keep], img_msk_hr[keep], removed
+
+
+def remove_corrupted_test_sets(img_msk_lr, clarity_threshold: float):
+    keep = scene_keep_mask(img_msk_lr, clarity_threshold)
+    return img_msk_lr[keep]
+
+
+# --------------------------------------------------------------------- #
+# top-k clearest frame pick (stage 2)                                    #
+# --------------------------------------------------------------------- #
+
+def pick_clear_frames(scene: np.ma.masked_array, k: int,
+                      clarity_threshold: float,
+                      rng: np.random.Generator) -> Tuple[np.ma.masked_array, int]:
+    """One scene [T, C, H, W] -> exactly k clearest frames (+dup count)."""
+    clear = is_frame_clear(np.ma.getmaskarray(scene), clarity_threshold)
+    filtered = scene[clear]
+    order = np.argsort(np.ma.getmaskarray(filtered).sum(axis=(1, 2, 3)),
+                       kind="stable")
+    ranked = filtered[order]
+    dup = 0
+    if k < len(ranked):
+        return ranked[:k], 0
+    dup = k - len(ranked)
+    picked = [ranked]
+    total = len(ranked)
+    while total < k:
+        perm = rng.permutation(len(filtered))
+        picked.append(filtered[perm])
+        total += len(filtered)
+    return np.ma.concatenate(picked)[:k], dup
+
+
+def pick_clear_frames_per_set(img_msk_lr, k: int, clarity_threshold: float,
+                              rng: Optional[np.random.Generator] = None,
+                              verbose: bool = True) -> np.ma.masked_array:
+    """All scenes -> [numImgSet, k, C, H, W] (dataGenerator.py:766-795)."""
+    rng = rng or np.random.default_rng(0)
+    out, dups = [], 0
+    num_frames_total = 0
+    for scene in img_msk_lr:
+        picked, d = pick_clear_frames(scene, k, clarity_threshold, rng)
+        out.append(picked[None])
+        dups += d
+        num_frames_total += len(scene)
+    if verbose and num_frames_total:
+        print(f"[ INFO ] Among the all the LR images, "
+              f"{dups / num_frames_total * 100:.2f}% are duplicates of "
+              f"high quality frames.")
+    return np.ma.concatenate(out)
+
+
+# --------------------------------------------------------------------- #
+# patch-level QC (stage 4)                                               #
+# --------------------------------------------------------------------- #
+
+def replace_dirty_frames(patch: np.ma.masked_array, k: int,
+                         clarity_threshold: float) -> Tuple[np.ma.masked_array, int, int]:
+    """One patch stack [T, C, h, w] -> k frames (dataGenerator.py:362-409).
+
+    Returns (cleaned, num_dirty, num_unreplaced).
+    """
+    t = len(patch)
+    c, h, w = patch.shape[-3:]
+    occl = np.count_nonzero(np.ma.getmaskarray(patch), axis=(-3, -2, -1)) / (h * w)
+    good = occl < (1.0 - clarity_threshold)
+    trimmed = patch[good]
+    if len(trimmed) == 0:
+        trimmed = patch[:]
+        dirty, unreplaced = t, t
+    else:
+        dirty, unreplaced = t - len(trimmed), 0
+    copies = math.ceil(k / len(trimmed))
+    tiled = np.ma.concatenate([trimmed] * copies)
+    order = np.argsort(np.ma.getmaskarray(tiled).sum(axis=(1, 2, 3)),
+                       kind="stable")
+    return tiled[order][:k], dirty, unreplaced
+
+
+def pick_clear_patches_lr(patches_lr: np.ma.masked_array, k: int,
+                          clarity_threshold: float,
+                          verbose: bool = True) -> np.ma.masked_array:
+    """[numImgSet, numPatch, T, C, h, w] -> same with exactly k frames."""
+    num_sets, num_patches, t = patches_lr.shape[:3]
+    cache = []
+    dirty_all, unreplaced_all = 0, 0
+    for img_set in patches_lr:
+        imgs, msks = [], []
+        for patch in img_set:
+            cleaned, dirty, unreplaced = replace_dirty_frames(
+                patch, k, clarity_threshold)
+            imgs.append(np.asarray(cleaned))
+            msks.append(np.ma.getmaskarray(cleaned))
+            dirty_all += dirty
+            unreplaced_all += unreplaced
+        cache.append(np.ma.masked_array(
+            np.stack(imgs), mask=np.stack(msks))[None])
+    out = np.ma.concatenate(cache)
+    if verbose:
+        frac = dirty_all / (num_sets * num_patches * t) * 100
+        level = "WARNING" if frac > 50 else "INFO"
+        print(f"[ {level} ] {frac:.2f}% of the patches did not pass the "
+              f"{clarity_threshold} threshold.")
+        if dirty_all:
+            print(f"[ {level} ] Among those patches, "
+                  f"{unreplaced_all / dirty_all * 100:.2f}% were not replaced!")
+    return out
+
+
+def patch_keep_mask(patches_hr: np.ma.masked_array,
+                    clarity_threshold: float) -> np.ndarray:
+    """Per-patch keep flag from HR clarity: [N, 1, C, H, W] -> [N] bool."""
+    c, h, w = patches_hr.shape[-3:]
+    occl = np.count_nonzero(np.ma.getmaskarray(patches_hr),
+                            axis=(-4, -3, -2, -1)) / (h * w)
+    return occl < (1.0 - clarity_threshold)
+
+
+def remove_corrupted_train_patch_sets(patches_lr, patches_hr,
+                                      clarity_threshold: float):
+    """Drop whole scenes whose every HR patch fails (dataGenerator.py:494-515)."""
+    keep = np.array([
+        bool(patch_keep_mask(scene_hr, clarity_threshold).any())
+        for scene_hr in patches_hr
+    ])
+    return patches_lr[keep], patches_hr[keep]
+
+
+def pick_clear_patches(patches_lr, patches_hr, clarity_threshold: float):
+    """Flatten scenes and drop individual HR-dirty patches
+    (dataGenerator.py:412-435).  Returns ([N*, T, C, h, w], [N*, 1, C, H, W]).
+    """
+    s0 = patches_lr.shape
+    s1 = patches_hr.shape
+    flat_lr = patches_lr.reshape((-1,) + s0[2:])
+    flat_hr = patches_hr.reshape((-1,) + s1[2:])
+    keep = patch_keep_mask(flat_hr, clarity_threshold)
+    return flat_lr[keep], flat_hr[keep]
+
+
+def convert_to_masked_array(img_sets: np.ndarray,
+                            msk_sets: np.ndarray) -> np.ma.masked_array:
+    """Pair HR images with SM masks (dataGenerator.py:681-699).
+
+    [numImgSet, 1, C, H, W] x2 -> masked array of the same shape with
+    mask=True at occluded pixels (~SM).
+    """
+    data = np.asarray(img_sets, dtype=np.float64)
+    occluded = ~(np.asarray(msk_sets) > 0)
+    return np.ma.masked_array(data, mask=occluded)

@@ -1,0 +1,149 @@
+"""Model-vs-model evaluation: per-scene cPSNR comparison and ESA scoring.
+
+Rebuild of reference evaluate.py: load the ground-truth HR scenes saved by
+pipeline stage 2 (``resolverDir/TRAINimgHR_<band>.npy``), score two
+directories of predicted scenes (benchmark vs candidate) with the
+shift-compensated cPSNR, and scatter-plot them per band (evaluate.py:28-73).
+
+Also carries the legacy ESA normalization (utils/utils.py:425-435): with the
+competition's ``norm.csv`` (per-scene bicubic-baseline cPSNR), the
+leaderboard score is mean(norm_i / cPSNR_i) — lower is better.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from probav_tpu.ops.shift_loss import ShiftCompensatedLosses
+from probav_tpu.utils.io import read_png, load_npy
+
+
+def load_hr_scenes(preprocessing_out: str,
+                   bands: Sequence[str] = ("RED", "NIR")) -> np.ma.masked_array:
+    """Concatenate per-band HR ground truth (evaluate.py:106-116).
+
+    -> masked [S, H, W, 1] float32, RED scenes first.
+    """
+    parts = []
+    for band in bands:
+        path = os.path.join(preprocessing_out, "resolverDir",
+                            f"TRAINimgHR_{band}.npy")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — run pipeline stage 2 for band {band}, "
+                f"or restrict the band list (CLI: --bands)")
+        parts.append(load_npy(path))
+    allimg = np.ma.concatenate(parts)
+    allimg = allimg.squeeze(1)                     # [S, C, H, W]
+    return allimg.astype(np.float32).transpose(0, 2, 3, 1)
+
+
+def load_scene_dir(path: str, limit: Optional[int] = None) -> np.ndarray:
+    """Sorted PNG dir -> [S, H, W, 1] float32 (evaluate.py:90-103)."""
+    names = sorted(os.listdir(path))
+    if limit is not None:
+        names = names[:limit]
+    imgs = [read_png(os.path.join(path, n))[..., None].astype(np.float32)
+            for n in names]
+    return np.stack(imgs)
+
+
+def per_scene_cpsnr(hr: np.ma.masked_array, pred: np.ndarray,
+                    batch: int = 16) -> np.ndarray:
+    """Shift-compensated cPSNR per scene; hr is masked [S,H,W,1]."""
+    size = hr.shape[1]
+    losses = ShiftCompensatedLosses(target_shape=(size, size, 1),
+                                    use_pallas=False)
+    import jax
+    fn = jax.jit(losses.cpsnr)
+    out = []
+    mask = (~np.asarray(hr.mask)).astype(np.float32)
+    data = np.asarray(hr, dtype=np.float32)
+    for s in range(0, len(hr), batch):
+        out.append(np.asarray(fn(data[s:s + batch], mask[s:s + batch],
+                                 pred[s:s + batch])))
+    return np.concatenate(out)
+
+
+def compare_runs(preprocessing_out: str, benchmark_dir: str,
+                 candidate_dir: str, red_count: int = 594,
+                 bands: Sequence[str] = ("RED", "NIR")
+                 ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Score two output dirs against ground truth, split by band.
+
+    Returns {'RED': {'benchmark': [...], 'candidate': [...]}, 'NIR': ...}.
+    The first ``red_count`` sorted scenes are RED, the rest NIR — the
+    reference's train-set layout (evaluate.py:37-46, test.py:79-90).
+    """
+    hr = load_hr_scenes(preprocessing_out, bands=bands)
+    bench = load_scene_dir(benchmark_dir, limit=len(hr))
+    cand = load_scene_dir(candidate_dir, limit=len(hr))
+    n = min(len(hr), len(bench), len(cand))
+    hr, bench, cand = hr[:n], bench[:n], cand[:n]
+    out = {}
+    band_slices = [("RED", slice(0, red_count)),
+                   ("NIR", slice(red_count, None))]
+    for band, sl in band_slices:
+        if band not in bands:
+            continue
+        h = hr[sl]
+        if len(h) == 0:
+            continue
+        out[band] = {
+            "benchmark": per_scene_cpsnr(h, bench[sl]),
+            "candidate": per_scene_cpsnr(h, cand[sl]),
+        }
+    return out
+
+
+def scatter_plot(results: Dict[str, Dict[str, np.ndarray]],
+                 out_path: str = "comparison.png") -> str:
+    """Benchmark-vs-candidate scatter, one panel per band (evaluate.py:57-73)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    bands = list(results)
+    fig, axs = plt.subplots(1, max(2, len(bands)), figsize=(10, 5))
+    colors = {"RED": "#cc0e74", "NIR": "#916dd5"}
+    for ax, band in zip(np.atleast_1d(axs), bands):
+        r = results[band]
+        ax.scatter(r["benchmark"], r["candidate"], edgecolors="k",
+                   alpha=0.6, color=colors.get(band, "#444444"), label=band)
+        ax.set_title(f"{band} scenes")
+        ax.grid(True)
+        ax.set_xlim([20, 70])
+        ax.set_ylim([20, 70])
+        ax.plot([20, 70], [20, 70], "#08ffc8", zorder=1)
+        ax.set_xlabel("cPSNR(dB) Benchmark")
+        ax.set_ylabel("cPSNR(dB) Candidate")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=300)
+    plt.close(fig)
+    return out_path
+
+
+def load_norm_csv(path: str) -> Dict[str, float]:
+    """ESA norm.csv: per-scene baseline cPSNR (utils/utils.py:425-435)."""
+    import csv
+    out = {}
+    with open(path) as f:
+        for row in csv.reader(f):
+            if len(row) >= 2:
+                try:
+                    out[row[0].strip()] = float(row[1])
+                except ValueError:
+                    continue   # header
+    return out
+
+
+def normalized_score(cpsnr_by_scene: Dict[str, float],
+                     norms: Dict[str, float]) -> float:
+    """ESA leaderboard score: mean(norm_i / cPSNR_i); lower is better."""
+    vals = [norms[k] / v for k, v in cpsnr_by_scene.items() if k in norms]
+    if not vals:
+        raise ValueError("no overlapping scene ids between scores and norms")
+    return float(np.mean(vals))

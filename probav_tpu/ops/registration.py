@@ -158,17 +158,25 @@ def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
 
     [numImgSet, numFrames, C, H, W] -> masked array of the same shape.
     """
-    sets = range(all_img_lr.shape[0])
+    sets = range(len(all_img_lr))
     if progress:
         try:
             from tqdm import tqdm
             sets = tqdm(sets, desc="[ INFO ] Registering LR images")
         except Exception:
             pass
-    return np.ma.stack([
-        register_image_set(all_img_lr[i], all_msk_lr[i], tech=tech)
-        for i in sets
-    ])
+    registered = [register_image_set(all_img_lr[i], all_msk_lr[i], tech=tech)
+                  for i in sets]
+    try:
+        return np.ma.stack(registered)
+    except ValueError:
+        # Ragged frame counts across scenes (the raw PROBA-V layout: 9-19
+        # LR frames per scene): keep an object array of per-scene masked
+        # arrays, as the reference does pre-top-k.
+        out = np.empty(len(registered), dtype=object)
+        for i, r in enumerate(registered):
+            out[i] = r
+        return out
 
 
 # --------------------------------------------------------------------- #

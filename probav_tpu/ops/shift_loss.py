@@ -8,6 +8,14 @@ the best shift.  The reference evaluates the 7x7=49 shifts with a Python loop
 of TF graph ops; here the whole scan is one vectorized XLA computation (and a
 fused Pallas kernel on TPU — see probav_tpu.ops.pallas_shift_loss).
 
+Dispatch: the vectorized XLA path is the default and is NOT the step
+bottleneck — measured on one v5e chip at batch 128, the l1 forward+backward
+inside the fused train step costs ~0.2 ms out of a 1.3 ms step.  The fused
+Pallas kernel (ops/pallas_shift_loss.py) is numerically verified but opt-in
+(``use_pallas=True``): the current Mosaic toolchain lowers its unaligned
+42x42 window reductions pathologically slowly, so it loses to XLA until a
+lane-aligned reformulation lands.
+
 Faithfulness notes (bit-level contracts preserved from loss.py):
 - the ground truth enters the residual UNMASKED: occluded HR pixels contribute
   |HR| to the sum while the prediction is zeroed there (loss.py:226-228);
@@ -42,7 +50,7 @@ class ShiftCompensatedLosses:
 
     def __init__(self, target_shape: Tuple[int, int, int] = (96, 96, 1),
                  crop_border: int = 3, bit_depth: int = 16,
-                 use_pallas: bool = True):
+                 use_pallas: bool = False):
         self.th, self.tw, self.tc = target_shape
         self.border = crop_border
         self.max_shift = 2 * crop_border
@@ -188,9 +196,12 @@ class ShiftCompensatedLosses:
     def _maybe_pallas(self, kind: str, hr, mask, pred):
         """Per-shift L1/L2 table [S, B]; fused Pallas kernel on TPU."""
         if self.use_pallas and _on_tpu():
-            from probav_tpu.ops.pallas_shift_loss import per_shift_table
-            return per_shift_table(kind, hr, mask, pred,
-                                   border=self.border)
+            from probav_tpu.ops import pallas_shift_loss as psl
+            if psl.supports(jnp.asarray(hr), self.border):
+                return psl.per_shift_table(kind, jnp.asarray(hr),
+                                           jnp.asarray(mask),
+                                           jnp.asarray(pred),
+                                           border=self.border)
         if kind == "l1":
             return self._per_shift_l1(hr, mask, pred)
         return self._per_shift_l2(hr, mask, pred)

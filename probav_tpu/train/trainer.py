@@ -190,7 +190,11 @@ class ModelTrainer:
             self._build_steps()
 
         train_batcher = Batcher((x, hr, mask), batch_size, seed=seed)
-        val_batcher = Batcher(tuple(val_data), batch_size, seed=seed + 1)
+        # Validation keeps partial batches (the reference's tf.data val
+        # pipeline does too, utils/utils.py:37-39) — otherwise a val set
+        # smaller than one batch would silently never evaluate.
+        val_batcher = Batcher(tuple(val_data), batch_size, seed=seed + 1,
+                              drop_remainder=False)
 
         total_steps = max(1, len(x) // batch_size)
         global_step = int(self.state.step)
@@ -271,10 +275,17 @@ class ModelTrainer:
     def evaluate(self, val_batcher: Batcher, val_steps: int,
                  sharding=None) -> tuple:
         test_loss, test_psnr = Mean("testLoss"), Mean("testPSNR")
+        full = val_batcher.batch_size
         it = prefetch_to_device(val_batcher.epoch(), sharding=sharding)
         for i, (lr_b, hr_b, mask_b) in enumerate(it):
             if i >= val_steps:
                 break
+            if len(lr_b) != full and self.mesh is not None:
+                # Under a mesh the batch axis must stay divisible by the
+                # 'data' axis: wrap-pad the ragged final batch (tiny,
+                # documented bias toward the repeated samples).
+                pad = lambda a: np.resize(np.asarray(a), (full,) + a.shape[1:])
+                lr_b, hr_b, mask_b = pad(lr_b), pad(hr_b), pad(mask_b)
             loss, metric = self._jit_eval(self.state, lr_b, hr_b, mask_b)
             test_loss.update(loss)
             test_psnr.update(metric)

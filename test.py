@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Inference/submission CLI — mirrors the reference ``test.py`` entry point.
+
+    python3 test.py --cfg cfg/p16t9c85r12.cfg --band NIR --totest TEST
+
+Loads the resolver patches written by pipeline stage 4, restores the latest
+checkpoint for the (cfg, band) pair, super-resolves every scene (whole patch
+grid in one TPU call), and writes uint16 ``imgset%04d.png`` files with the
+reference's band/split numbering, skipping removed scenes.
+
+Extension: ``--tta`` enables temporal-permutation test-time augmentation
+(the reference's unused resolveBySampleAveraging, test.py:137-146).
+"""
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+logging.basicConfig(format="%(asctime)s - %(message)s", level=logging.INFO)
+logging.getLogger("absl").setLevel(logging.WARNING)
+logger = logging.getLogger("test")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="cfg/p16t9c85r12.cfg", type=str)
+    p.add_argument("--band", type=str, default="RED")
+    p.add_argument("--totest", type=str, default="TEST")
+    p.add_argument("--tta", action="store_true")
+    return p.parse_args()
+
+
+def restore_params(ckpt_dir: str):
+    """Pull just the model parameters from the latest orbax checkpoint."""
+    import orbax.checkpoint as ocp
+    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    restored = mngr.restore(step)
+    logger.info("[ INFO ] Restored checkpoint at step %d.", step)
+    return restored["state"]["params"]
+
+
+def main():
+    opt = parse_args()
+    from probav_tpu.config import Config
+    from probav_tpu.infer import Resolver, load_removed_sets, write_submission
+    from probav_tpu.models import build_model
+    from probav_tpu.utils.io import load_npy
+
+    cfg = Config.from_file(opt.cfg)
+    data_dir = cfg.stage_dir("resolverDir")
+    logger.info("[ INFO ] Loading data...")
+    patches = load_npy(os.path.join(
+        data_dir, f"{opt.totest}patchesLR_{opt.band}.npy"))
+    # [S, P, T, C, h, w] -> [S, P, h, w, T, C] (test.py:38)
+    patches = np.asarray(patches, dtype=np.float32).transpose(0, 1, 4, 5, 2, 3)
+
+    logger.info("[ INFO ] Building model...")
+    model = build_model(cfg, opt.band)
+    params = restore_params(cfg.ckpt_dir(opt.band))
+
+    scene = cfg.patch_size * cfg.scale * int(np.sqrt(patches.shape[1]))
+    resolver = Resolver(model, params, scene_size=scene)
+    logger.info("[ INFO ] Generating predictions...")
+    scenes = resolver.resolve_all(patches, tta=opt.tta)
+
+    out_dir = cfg.out_dir(opt.totest)
+    removed = load_removed_sets(opt.band)
+    written = write_submission(scenes, out_dir, opt.band, opt.totest, removed)
+    logger.info("[ SAVE ] Wrote %d scenes to %s", len(written), out_dir)
+
+
+if __name__ == "__main__":
+    main()

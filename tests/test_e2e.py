@@ -1,0 +1,201 @@
+"""End-to-end slice: raw PNGs -> 5-stage pipeline -> train -> infer -> eval.
+
+Exercises the same artifact contract the reference's CLIs share
+(dataGenerator stage dirs, augmentedPatchesDir file names consumed by
+train.py:39-42, resolverDir patches consumed by test.py:37, submission
+numbering of test.py:79-100, evaluate.py scoring).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from probav_tpu.config import Config
+from probav_tpu.data import pipeline
+from probav_tpu.utils.io import load_npy, read_png
+
+from synthetic_data import make_raw_tree, write_cfg
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    raw = make_raw_tree(str(root / "raw"), train_scenes=3, test_scenes=2,
+                        frames=5)
+    cfg_path = write_cfg(str(root / "synth.cfg"), raw=raw,
+                         out=str(root / "chkpt"),
+                         model_out=str(root / "modelInfo"),
+                         train_out=str(root / "trainout"),
+                         test_out=str(root / "testout"))
+    cfg = Config.from_file(cfg_path)
+    cwd = os.getcwd()
+    os.chdir(root)   # removedTrainSets<band>.txt is CWD-relative (parity)
+    yield cfg, root
+    os.chdir(cwd)
+
+
+@pytest.fixture(scope="module")
+def pipeline_done(workspace):
+    cfg, root = workspace
+    pipeline.run(cfg, "NIR", progress=False)
+    return cfg, root
+
+
+class TestPipelineArtifacts:
+    def test_stage_artifacts_exist_with_contract_names(self, pipeline_done):
+        cfg, root = pipeline_done
+        for rel in [
+            ("arrayDir", "TRAINimgLR_NIR.npy"),
+            ("arrayDir", "TESTmskLR_NIR.npy"),
+            ("trimmedArrayDir", "TRAINimgLR_NIR.npy"),
+            ("trimmedArrayDir", "TESTimgLR_NIR.npy"),
+            ("patchesDir", "TRAINpatchesLR_NIR.npy"),
+            ("patchesDir", "TRAINpatchesHR_NIR.npy"),
+            ("resolverDir", "TRAINimgHR_NIR.npy"),
+            ("resolverDir", "TESTpatchesLR_NIR.npy"),
+            ("trimmedPatchesDir", "TRAINpatchesLR_NIR.npy"),
+            ("augmentedPatchesDir", "TRAINpatchesLR_NIR.npy"),
+            ("augmentedPatchesDir", "TRAINVALpatchesHR_NIR.npy"),
+        ]:
+            path = os.path.join(cfg.stage_dir(rel[0]), rel[1])
+            assert os.path.exists(path), path
+
+    def test_trimmed_has_exactly_k_frames(self, pipeline_done):
+        cfg, _ = pipeline_done
+        lr = load_npy(os.path.join(cfg.stage_dir("trimmedArrayDir"),
+                                   "TRAINimgLR_NIR.npy"))
+        assert lr.shape[1] == cfg.num_low_res_imgs_pre   # 5 frames -> 9 dups
+
+    def test_patch_geometry(self, pipeline_done):
+        cfg, _ = pipeline_done
+        p = load_npy(os.path.join(cfg.stage_dir("resolverDir"),
+                                  "TESTpatchesLR_NIR.npy"))
+        # 32px LR + 3px pad each side = 38 -> 2x2 grid of 22px patches
+        assert p.shape[1:] == (4, 9, 1, 22, 22), p.shape
+
+    def test_model_layout_after_stage4(self, pipeline_done):
+        cfg, _ = pipeline_done
+        lr = load_npy(os.path.join(cfg.stage_dir("trimmedPatchesDir"),
+                                   "TRAINpatchesLR_NIR.npy"))
+        hr = load_npy(os.path.join(cfg.stage_dir("trimmedPatchesDir"),
+                                   "TRAINpatchesHR_NIR.npy"))
+        assert lr.shape[1:] == (22, 22, 9, 1)
+        assert hr.shape[1:] == (48, 48, 1)
+        assert lr.shape[0] == hr.shape[0]
+
+    def test_augmentation_doubles_with_one_permute(self, pipeline_done):
+        cfg, _ = pipeline_done
+        tr = load_npy(os.path.join(cfg.stage_dir("augmentedPatchesDir"),
+                                   "TRAINpatchesLR_NIR.npy"))
+        hr = load_npy(os.path.join(cfg.stage_dir("augmentedPatchesDir"),
+                                   "TRAINpatchesHR_NIR.npy"))
+        assert len(tr) == len(hr)
+        base = load_npy(os.path.join(cfg.stage_dir("trimmedPatchesDir"),
+                                     "TRAINpatchesLR_NIR.npy"))
+        val = load_npy(os.path.join(cfg.stage_dir("augmentedPatchesDir"),
+                                    "TRAINVALpatchesLR_NIR.npy"))
+        assert len(tr) == 2 * (len(base) - len(val))
+
+    def test_removed_sets_file_written(self, pipeline_done):
+        cfg, root = pipeline_done
+        assert os.path.exists(str(root / "removedTrainSetsNIR.txt"))
+
+
+class TestTrainInferEval:
+    @pytest.fixture(scope="class")
+    def trained(self, pipeline_done):
+        cfg, root = pipeline_done
+        import jax.numpy as jnp
+        from probav_tpu.models import build_model
+        from probav_tpu.ops import ShiftCompensatedLosses
+        from probav_tpu.train import ModelTrainer, build_optimizer
+
+        d = cfg.stage_dir("augmentedPatchesDir")
+        x = np.asarray(load_npy(os.path.join(d, "TRAINpatchesLR_NIR.npy")),
+                       dtype=np.float32)
+        y = load_npy(os.path.join(d, "TRAINpatchesHR_NIR.npy"))
+        xv = np.asarray(load_npy(os.path.join(d, "TRAINVALpatchesLR_NIR.npy")),
+                        dtype=np.float32)
+        yv = load_npy(os.path.join(d, "TRAINVALpatchesHR_NIR.npy"))
+        y_mask = np.asarray(~y.mask, np.float32)
+        yv_mask = np.asarray(~yv.mask, np.float32)
+        y, yv = np.asarray(y, np.float32), np.asarray(yv, np.float32)
+
+        model = build_model(cfg, "NIR")
+        losses = ShiftCompensatedLosses((48, 48, 1), use_pallas=False)
+        trainer = ModelTrainer(model, losses.by_name(cfg.loss), losses.cpsnr,
+                               build_optimizer(cfg.optimizer, cfg.learning_rate),
+                               ckpt_dir=cfg.ckpt_dir("NIR"),
+                               log_dir=cfg.log_dir("NIR"), log_every=50)
+        trainer.init_state(x[:1])
+        res = trainer.fit(x, [y, y_mask], cfg.batch_size, cfg.epochs,
+                          val_data=[xv, yv, yv_mask], val_steps=2,
+                          save_best_only=False)
+        return cfg, root, model, trainer, res
+
+    def test_training_ran_and_checkpointed(self, trained):
+        cfg, root, model, trainer, res = trained
+        assert res["steps"] > 0
+        assert np.isfinite(res["train_loss"])
+        assert trainer.ckpt_mngr.latest_step() is not None
+
+    def test_infer_writes_submission(self, trained):
+        cfg, root, model, trainer, _ = trained
+        from probav_tpu.infer import Resolver, write_submission
+
+        patches = load_npy(os.path.join(cfg.stage_dir("resolverDir"),
+                                        "TESTpatchesLR_NIR.npy"))
+        patches = np.asarray(patches, np.float32).transpose(0, 1, 4, 5, 2, 3)
+        scene = cfg.patch_size * cfg.scale * int(np.sqrt(patches.shape[1]))
+        assert scene == 96
+        resolver = Resolver(model, trainer.state.params, scene_size=scene)
+        scenes = resolver.resolve_all(patches, progress=False)
+        out = str(root / "subm")
+        written = write_submission(scenes, out, "NIR", "TEST", removed=[])
+        assert len(written) == len(patches)
+        img = read_png(written[0])
+        assert img.shape == (96, 96) and img.dtype == np.uint16
+        assert os.path.basename(written[0]) == "imgset1306.png"
+
+    def test_submission_numbering_skips_removed(self, trained):
+        cfg, root, model, trainer, _ = trained
+        from probav_tpu.infer import write_submission
+        scenes = [np.zeros((96, 96, 1))] * 2
+        out = str(root / "subm2")
+        written = write_submission(scenes, out, "NIR", "TEST",
+                                   removed=[1306, 1308])
+        names = [os.path.basename(w) for w in written]
+        assert names == ["imgset1307.png", "imgset1309.png"]
+
+    def test_tta_resolver_runs(self, trained):
+        cfg, root, model, trainer, _ = trained
+        from probav_tpu.infer import Resolver
+        patches = load_npy(os.path.join(cfg.stage_dir("resolverDir"),
+                                        "TESTpatchesLR_NIR.npy"))
+        patches = np.asarray(patches, np.float32).transpose(0, 1, 4, 5, 2, 3)
+        resolver = Resolver(model, trainer.state.params, scene_size=96)
+        scene = resolver.resolve_scene_tta(patches[0], repeats=3)
+        assert scene.shape == (96, 96, 1)
+
+    def test_evaluation_compare(self, trained):
+        cfg, root, model, trainer, _ = trained
+        from probav_tpu.infer import Resolver, write_submission
+        from probav_tpu.evaluation import compare_runs, scatter_plot
+
+        patches = load_npy(os.path.join(cfg.stage_dir("resolverDir"),
+                                        "TRAINpatchesLR_NIR.npy"))
+        patches = np.asarray(patches, np.float32).transpose(0, 1, 4, 5, 2, 3)
+        resolver = Resolver(model, trainer.state.params, scene_size=96)
+        scenes = resolver.resolve_all(patches, progress=False)
+        out = str(root / "trainout_scenes")
+        write_submission(scenes, out, "NIR", "TRAIN", removed=[], start_id=0)
+
+        results = compare_runs(cfg.preprocessing_out, out, out, red_count=0,
+                               bands=("NIR",))
+        assert "NIR" in results
+        psnr = results["NIR"]["candidate"]
+        assert np.isfinite(psnr).all()
+        np.testing.assert_array_equal(psnr, results["NIR"]["benchmark"])
+        plot = scatter_plot(results, str(root / "cmp.png"))
+        assert os.path.exists(plot)
