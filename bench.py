@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship training throughput on one TPU chip.
+
+Measures the full fused train step (forward + 49-shift L1 loss + backward +
+nadam update, donated buffers) of the flagship p16t9c85r12 model (12 WDSR-B
+blocks, 32 filters, 9-frame stack, batch 128) and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": "patches/sec", "vs_baseline": ...}
+
+Baseline: the reference publishes no machine throughput (BASELINE.md), so
+``vs_baseline`` is computed against an ESTIMATED reference rate of 2000
+patches/sec — a deliberately generous reading of a GTX1080ti running the
+reference TF2 graph (batch 128 at ~15 steps/s) whose loss alone is a Python
+loop of 49 crop/bias/reduce subgraphs.  The BASELINE.json north star asks
+for >= 5x that estimate, i.e. vs_baseline >= 5.
+
+Inputs are staged on device before timing (host->device copies and compile
+time excluded; a fresh-data steady-state step is what training actually
+repeats — the input pipeline overlaps via prefetch).
+"""
+
+import json
+import time
+
+ESTIMATED_REFERENCE_PATCHES_PER_SEC = 2000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from probav_tpu.config import Config
+    from probav_tpu.models import build_model, input_shape
+    from probav_tpu.ops import ShiftCompensatedLosses
+
+    cfg = Config.from_file("cfg/p16t9c85r12.cfg")
+    batch = cfg.batch_size
+    model = build_model(cfg, "NIR")
+    losses = ShiftCompensatedLosses(
+        target_shape=(cfg.hr_patch_size, cfg.hr_patch_size, 1))
+    tx = optax.nadam(cfg.learning_rate)
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.uniform(
+        4000, 12000, input_shape(cfg, batch)).astype(np.float32))
+    hr = jax.device_put(rng.uniform(
+        4000, 12000, (batch, 48, 48, 1)).astype(np.float32))
+    mask = jax.device_put(
+        (rng.uniform(size=(batch, 48, 48, 1)) > 0.15).astype(np.float32))
+
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def fwd(p, xx):
+        return model.apply({"params": p}, xx)
+
+    def step(p, o, xx, h, m):
+        g = jax.grad(
+            lambda pp: losses.l1(h, m, model.apply({"params": pp}, xx)))(p)
+        u, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o2
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+
+    # Warmup / compile.
+    params, opt_state = step(params, opt_state, x, hr, mask)
+    jax.block_until_ready(params)
+
+    iters = 100
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state = step(params, opt_state, x, hr, mask)
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - t0) / iters
+    train_pps = batch / dt
+
+    print(json.dumps({
+        "metric": "train_patches_per_sec_1chip_p16t9c85r12_b128",
+        "value": round(train_pps, 1),
+        "unit": "patches/sec",
+        "vs_baseline": round(train_pps / ESTIMATED_REFERENCE_PATCHES_PER_SEC,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -182,7 +182,9 @@ class ModelTrainer:
             batch_size: int, epochs: int,
             val_data: Sequence[np.ndarray],
             val_steps: int = 64, save_best_only: bool = True,
-            init_epoch: int = 0, seed: int = 17) -> dict:
+            init_epoch: int = 0, seed: int = 17,
+            profile_dir: Optional[str] = None,
+            profile_window: tuple = (10, 20)) -> dict:
         hr, mask = y
         if self.state is None:
             self.init_state(x[:1])
@@ -219,6 +221,12 @@ class ModelTrainer:
                 train_psnr.reset()
             step += 1
             global_step += 1
+            if profile_dir is not None:
+                if global_step == profile_window[0]:
+                    jax.profiler.start_trace(profile_dir)
+                elif global_step == profile_window[1]:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
             self.state, loss, metric = self._jit_train(
                 self.state, lr_b, hr_b, mask_b)
             train_loss.update(loss)
@@ -274,12 +282,13 @@ class ModelTrainer:
 
     def evaluate(self, val_batcher: Batcher, val_steps: int,
                  sharding=None) -> tuple:
+        import itertools
         test_loss, test_psnr = Mean("testLoss"), Mean("testPSNR")
         full = val_batcher.batch_size
-        it = prefetch_to_device(val_batcher.epoch(), sharding=sharding)
-        for i, (lr_b, hr_b, mask_b) in enumerate(it):
-            if i >= val_steps:
-                break
+        # Bound the SOURCE so the producer thread terminates on its own (a
+        # consumer-side break would strand it blocked on the queue).
+        src = itertools.islice(val_batcher.epoch(), val_steps)
+        for lr_b, hr_b, mask_b in prefetch_to_device(src, sharding=sharding):
             if len(lr_b) != full and self.mesh is not None:
                 # Under a mesh the batch axis must stay divisible by the
                 # 'data' axis: wrap-pad the ragged final batch (tiny,
