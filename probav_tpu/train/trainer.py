@@ -280,6 +280,106 @@ class ModelTrainer:
             **last,
         }
 
+    # ------------------------------------------------------------------ #
+    # device-resident fast path                                           #
+    # ------------------------------------------------------------------ #
+
+    def fit_device(self, x: np.ndarray, y: Sequence[np.ndarray],
+                   batch_size: int, epochs: int,
+                   val_data: Sequence[np.ndarray],
+                   val_steps: int = 64, save_best_only: bool = True,
+                   seed: int = 17) -> dict:
+        """TPU-native training loop: the dataset lives in HBM and the inner
+        loop is a ``lax.scan`` over steps with on-device index gathers —
+        the host only draws epoch permutations and reads back one scalar
+        pair per eval window.  Single-device (or replicated) execution;
+        use ``fit`` for host-streamed multi-chip data parallelism.
+        """
+        hr, mask = y
+        if self.state is None:
+            self.init_state(x[:1])
+        if self._jit_train is None:
+            self._build_steps()
+        model, loss_fn, metric_fn, tx = (self.model, self.loss_fn,
+                                         self.metric_fn, self.tx)
+
+        xd = jax.device_put(np.asarray(x, np.float32))
+        hrd = jax.device_put(np.asarray(hr, np.float32))
+        maskd = jax.device_put(np.asarray(mask, np.float32))
+
+        @partial(jax.jit, donate_argnums=0)
+        def scan_steps(state: TrainState, idx: jnp.ndarray):
+            """idx: [K, batch] int32 — K fused train steps on device."""
+
+            def body(st, batch_idx):
+                lb = jnp.take(xd, batch_idx, axis=0)
+                hb = jnp.take(hrd, batch_idx, axis=0)
+                mb = jnp.take(maskd, batch_idx, axis=0)
+
+                def objective(params):
+                    pred = model.apply({"params": params}, lb)
+                    return loss_fn(hb, mb, pred), pred
+
+                (loss, pred), grads = jax.value_and_grad(
+                    objective, has_aux=True)(st.params)
+                updates, opt_state = tx.update(grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, updates)
+                metric = jnp.mean(metric_fn(hb, mb, pred))
+                return TrainState(params=params, opt_state=opt_state,
+                                  step=st.step + 1), (loss, metric)
+
+            state, (losses, metrics) = jax.lax.scan(body, state, idx)
+            return state, jnp.mean(losses), jnp.mean(metrics)
+
+        n = len(x)
+        steps_per_epoch = max(1, n // batch_size)
+        chunk = min(self.eval_step, steps_per_epoch)
+        rng = np.random.default_rng(seed)
+        val_batcher = Batcher(tuple(val_data), batch_size, seed=seed + 1,
+                              drop_remainder=False)
+
+        global_step = int(self.state.step)
+        done_epochs = global_step // steps_per_epoch
+        last = {"val_psnr": float("nan"), "val_loss": float("nan")}
+        t_start = time.time()
+        seen = 0
+        for epoch in range(done_epochs, epochs):
+            perm = rng.permutation(n)[:steps_per_epoch * batch_size]
+            perm = perm.reshape(steps_per_epoch, batch_size).astype(np.int32)
+            for start in range(0, steps_per_epoch, chunk):
+                idx = jnp.asarray(perm[start:start + chunk])
+                self.state, mean_loss, mean_psnr = scan_steps(self.state, idx)
+                global_step += idx.shape[0]
+                seen += idx.size
+                self.logger_.scalar("Train loss", float(mean_loss),
+                                    global_step)
+                self.logger_.scalar("Train PSNR", float(mean_psnr),
+                                    global_step)
+                logger.info("[ EPOCH %d/%d ] step %d loss %.6f cPSNR %.3f",
+                            epoch, epochs, global_step, float(mean_loss),
+                            float(mean_psnr))
+                if global_step % self.eval_step < idx.shape[0]:
+                    val_loss, val_psnr = self.evaluate(val_batcher, val_steps)
+                    last.update(val_psnr=val_psnr, val_loss=val_loss)
+                    self.logger_.scalar("Test loss", val_loss, global_step)
+                    self.logger_.scalar("Test PSNR", val_psnr, global_step)
+                    if not save_best_only or val_psnr > self.best_psnr:
+                        self.best_psnr = max(self.best_psnr, val_psnr)
+                        self.save()
+        elapsed = time.time() - t_start
+        val_loss, val_psnr = self.evaluate(val_batcher, val_steps)
+        last.update(val_psnr=val_psnr, val_loss=val_loss)
+        if not save_best_only or val_psnr > self.best_psnr:
+            self.best_psnr = max(self.best_psnr, val_psnr)
+            self.save()
+        self.logger_.flush()
+        return {
+            "steps": global_step,
+            "epochs": epochs,
+            "patches_per_sec": seen / elapsed if elapsed > 0 else 0.0,
+            **last,
+        }
+
     def evaluate(self, val_batcher: Batcher, val_steps: int,
                  sharding=None) -> tuple:
         import itertools

@@ -160,3 +160,40 @@ class TestOptim:
             assert build_optimizer(name, 1e-3) is not None
         with pytest.raises(ValueError):
             build_optimizer("lamb", 1e-3)
+
+
+class TestDeviceResidentFit:
+    def test_fit_device_runs_and_learns(self, tmp_path, rng):
+        x, hr, mask = tiny_data(rng, n=16)
+        model, trainer = tiny_setup(tmp_path)
+        trainer.init_state(x[:1])
+        res = trainer.fit_device(x, [hr, mask], batch_size=8, epochs=4,
+                                 val_data=[x, hr, mask], val_steps=1,
+                                 save_best_only=False)
+        assert res["steps"] == 8
+        assert np.isfinite(res["val_loss"])
+        assert trainer.ckpt_mngr.latest_step() is not None
+
+    def test_fit_device_matches_fit_first_step(self, tmp_path, rng):
+        # One full-batch step with identical init and data -> same loss.
+        x, hr, mask = tiny_data(rng, n=8)
+        _, t1 = tiny_setup(tmp_path / "a")
+        t1.init_state(x[:1], rng_seed=11)
+        t1._build_steps()
+        # _jit_train donates its input state — keep the returned one.
+        s1, l_ref, _ = t1._jit_train(t1.state, x, hr, mask)
+
+        _, t2 = tiny_setup(tmp_path / "b")
+        t2.init_state(x[:1], rng_seed=11)
+        t2._build_steps()
+        res = t2.fit_device(x, [hr, mask], batch_size=8, epochs=1,
+                            val_data=[x, hr, mask], val_steps=1,
+                            save_best_only=False, seed=123)
+        # same data (single batch = whole set), same init -> same params
+        # after one step (permutation order within the batch is irrelevant
+        # to the set of samples, but gather order isn't — compare params).
+        p1 = jax.tree.leaves(s1.params)
+        p2 = jax.tree.leaves(t2.state.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
