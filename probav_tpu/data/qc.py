@@ -112,48 +112,68 @@ def pick_clear_frames_per_set(img_msk_lr, k: int, clarity_threshold: float,
 # patch-level QC (stage 4)                                               #
 # --------------------------------------------------------------------- #
 
-def replace_dirty_frames(patch: np.ma.masked_array, k: int,
-                         clarity_threshold: float) -> Tuple[np.ma.masked_array, int, int]:
-    """One patch stack [T, C, h, w] -> k frames (dataGenerator.py:362-409).
+def select_frame_indices(occ_counts: np.ndarray, k: int,
+                         clarity_threshold: float, hw: int
+                         ) -> Tuple[np.ndarray, int, int]:
+    """Frame-replacement selection as pure index logic.
 
-    Returns (cleaned, num_dirty, num_unreplaced).
+    occ_counts: [S, P, T] int64 occluded-pixel counts per frame.
+    Returns (idx [S, P, k] int32, num_dirty, num_unreplaced) reproducing
+    removeAndReplaceDirtyFrames exactly (dataGenerator.py:362-409): keep
+    frames with occluded fraction < 1-threshold (original order), fall back
+    to all frames when none survive, tile ceil(k/len) copies, stable-sort
+    the tiled list by occlusion, take the first k.
     """
-    t = len(patch)
-    c, h, w = patch.shape[-3:]
-    occl = np.count_nonzero(np.ma.getmaskarray(patch), axis=(-3, -2, -1)) / (h * w)
-    good = occl < (1.0 - clarity_threshold)
-    trimmed = patch[good]
-    if len(trimmed) == 0:
-        trimmed = patch[:]
-        dirty, unreplaced = t, t
-    else:
-        dirty, unreplaced = t - len(trimmed), 0
-    copies = math.ceil(k / len(trimmed))
-    tiled = np.ma.concatenate([trimmed] * copies)
-    order = np.argsort(np.ma.getmaskarray(tiled).sum(axis=(1, 2, 3)),
-                       kind="stable")
-    return tiled[order][:k], dirty, unreplaced
+    try:
+        from probav_tpu.data import _native
+        return _native.select_frames(occ_counts, k, clarity_threshold, hw)
+    except Exception:
+        return _select_frame_indices_py(occ_counts, k, clarity_threshold, hw)
+
+
+def _select_frame_indices_py(occ_counts, k, clarity_threshold, hw):
+    s, p, t = occ_counts.shape
+    limit = (1.0 - clarity_threshold) * hw
+    idx = np.empty((s, p, k), dtype=np.int32)
+    dirty = 0
+    unreplaced = 0
+    for si in range(s):
+        for pi in range(p):
+            occ = occ_counts[si, pi]
+            good = [ti for ti in range(t) if occ[ti] < limit]
+            if not good:
+                good = list(range(t))
+                dirty += t
+                unreplaced += t
+            else:
+                dirty += t - len(good)
+            copies = math.ceil(k / len(good))
+            tiled = good * copies
+            order = sorted(range(len(tiled)), key=lambda i: occ[tiled[i]])
+            idx[si, pi] = [tiled[i] for i in order[:k]]
+    return idx, dirty, unreplaced
 
 
 def pick_clear_patches_lr(patches_lr: np.ma.masked_array, k: int,
                           clarity_threshold: float,
                           verbose: bool = True) -> np.ma.masked_array:
-    """[numImgSet, numPatch, T, C, h, w] -> same with exactly k frames."""
+    """[numImgSet, numPatch, T, C, h, w] -> same with exactly k frames.
+
+    One vectorized occlusion pass over the data, then index-only selection
+    (native C++ when built, Python fallback) and a single gather — replaces
+    the reference's per-frame Python/numpy loop.
+    """
     num_sets, num_patches, t = patches_lr.shape[:3]
-    cache = []
-    dirty_all, unreplaced_all = 0, 0
-    for img_set in patches_lr:
-        imgs, msks = [], []
-        for patch in img_set:
-            cleaned, dirty, unreplaced = replace_dirty_frames(
-                patch, k, clarity_threshold)
-            imgs.append(np.asarray(cleaned))
-            msks.append(np.ma.getmaskarray(cleaned))
-            dirty_all += dirty
-            unreplaced_all += unreplaced
-        cache.append(np.ma.masked_array(
-            np.stack(imgs), mask=np.stack(msks))[None])
-    out = np.ma.concatenate(cache)
+    h, w = patches_lr.shape[-2:]
+    mask = np.ma.getmaskarray(patches_lr)
+    occ = np.count_nonzero(mask, axis=(-3, -2, -1)).astype(np.int64)
+    idx, dirty_all, unreplaced_all = select_frame_indices(
+        occ, k, clarity_threshold, h * w)
+
+    gather = idx[..., None, None, None]
+    data = np.take_along_axis(np.asarray(patches_lr), gather, axis=2)
+    msk = np.take_along_axis(mask, gather, axis=2)
+    out = np.ma.masked_array(data, mask=msk)
     if verbose:
         frac = dirty_all / (num_sets * num_patches * t) * 100
         level = "WARNING" if frac > 50 else "INFO"

@@ -65,8 +65,35 @@ def reduction_schedule(num_img: int, kernel_t: int) -> Sequence[dict]:
             [{"pad": (0, 0, 0), "kernel": k}] * (n_convs - n_padded))
 
 
+class WDSRBlock(nn.Module):
+    """WDSR-B wide-activation residual block (modelsTF.py:177-189):
+    1x1x1 expand x exp_rate (relu) -> 1x1x1 decay -> k^3 conv -> add."""
+
+    num_filters: int
+    exp_rate: int
+    decay_rate: float
+    kernel_size: Tuple[int, int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_in: jnp.ndarray) -> jnp.ndarray:
+        f = self.num_filters
+        x = WNConv(f * self.exp_rate, (1, 1, 1), "SAME", "relu",
+                   dtype=self.dtype, name="expand")(x_in)
+        x = WNConv(int(f * self.decay_rate), (1, 1, 1), "SAME", None,
+                   dtype=self.dtype, name="decay")(x)
+        x = WNConv(f, self.kernel_size, "SAME", None, dtype=self.dtype,
+                   name="conv")(x)
+        return x + x_in
+
+
 class WDSRConv3D(nn.Module):
-    """Flagship WDSR-B 3D fusion net.  Call with [B, H, W, T, C]."""
+    """Flagship WDSR-B 3D fusion net.  Call with [B, H, W, T, C].
+
+    ``remat`` wraps each residual block in jax.checkpoint, trading recompute
+    for activation memory (the 256-channel expand activations dominate) —
+    useful for very large batches on one chip.
+    """
 
     scale: int = 3
     num_filters: int = 32
@@ -79,6 +106,7 @@ class WDSRConv3D(nn.Module):
     mean: float = 0.0
     std: float = 1.0
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -101,8 +129,10 @@ class WDSRConv3D(nn.Module):
     def _main_path(self, x: jnp.ndarray) -> jnp.ndarray:
         f, k = self.num_filters, self.kernel_size
         x = WNConv(f, k, "SAME", "relu", dtype=self.dtype, name="mainConv1")(x)
+        block_cls = nn.remat(WDSRBlock) if self.remat else WDSRBlock
         for i in range(self.num_res_blocks):
-            x = self._res_block(x, i)
+            x = block_cls(f, self.exp_rate, self.decay_rate, k,
+                          dtype=self.dtype, name=f"resBlock_{i}")(x)
         for s, step in enumerate(reduction_schedule(self.num_img_lr, k[2])):
             ph, pw, pt = step["pad"]
             if ph or pw or pt:
@@ -114,17 +144,6 @@ class WDSRConv3D(nn.Module):
         b, h, w = x.shape[:3]
         x = x.reshape(b, h, w, self.scale ** 2)
         return depth_to_space(x, self.scale)
-
-    def _res_block(self, x_in: jnp.ndarray, i: int) -> jnp.ndarray:
-        """WDSR-B block (modelsTF.py:177-189): wide expand, decay, conv, add."""
-        f = self.num_filters
-        x = WNConv(f * self.exp_rate, (1, 1, 1), "SAME", "relu",
-                   dtype=self.dtype, name=f"expConv_{i}")(x_in)
-        x = WNConv(int(f * self.decay_rate), (1, 1, 1), "SAME", None,
-                   dtype=self.dtype, name=f"decConv_{i}")(x)
-        x = WNConv(f, self.kernel_size, "SAME", None, dtype=self.dtype,
-                   name=f"normConv_{i}")(x)
-        return x + x_in
 
     # -- low-frequency path (modelsTF.py:45-53) -------------------------- #
 
@@ -255,7 +274,7 @@ class FuseNetConv2D(nn.Module):
 
 
 def build_model(cfg, band: str, model_type: str = "wdsr",
-                dtype: Dtype = jnp.float32) -> nn.Module:
+                dtype: Dtype = jnp.float32, remat: bool = False) -> nn.Module:
     """Construct the model described by a Config for one band.
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size
@@ -265,7 +284,9 @@ def build_model(cfg, band: str, model_type: str = "wdsr",
         return FuseNetConv2D(dtype=dtype)
     mean, std = cfg.band_stats(band)
     cls = {"wdsr": WDSRConv3D, "iwdsr": IWDSRConv3D}[model_type]
+    extra = {"remat": remat} if model_type == "wdsr" else {}
     return cls(
+        **extra,
         scale=cfg.scale,
         num_filters=cfg.num_filters,
         kernel_size=(cfg.kernel_size,) * 3,

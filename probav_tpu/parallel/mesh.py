@@ -53,17 +53,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def _spec_for_param(path: str, leaf) -> P:
     """Tensor-parallel layout rules for WDSR-B parameters.
 
-    expConv kernels shard output channels (last axis) over 'model'; decConv
-    kernels shard input channels (second-to-last) so the expand->decay pair
-    contracts over the sharded axis (one collective per block).  Vector
-    params (g, bias) of the expand conv shard with their channel.
+    The block's expand conv shards output channels (last axis) over 'model';
+    the decay conv shards input channels (second-to-last) so the
+    expand->decay pair contracts over the sharded axis (one collective per
+    block).  Vector params (g, bias) of the expand conv shard with their
+    channel.  Param paths follow models/wdsr.py::WDSRBlock naming
+    (resBlock_i/expand, resBlock_i/decay).
     """
     nd = getattr(leaf, "ndim", 0)
-    if "expConv" in path:
+    if "expand" in path:
         if nd >= 2:   # kernel_v
             return P(*([None] * (nd - 1) + ["model"]))
         return P("model")  # wn_g / bias follow output channels
-    if "decConv" in path and nd >= 2:
+    if "decay" in path and nd >= 2:
         return P(*([None] * (nd - 2) + ["model", None]))
     return P()
 

@@ -145,3 +145,19 @@ class TestBuildFromConfig:
         # 12 blocks x 36818 + 3 reducers x 27712 + upscale 7794 + residual
         # path (99 + 747 + 747).  (v, g, bias per weight-normed conv.)
         assert n == 535267, n
+
+
+class TestRemat:
+    def test_remat_matches_plain(self, rng):
+        x = jnp.asarray(rng.uniform(0, 65535, (2, 22, 22, 9, 1)), jnp.float32)
+        plain = tiny_model(num_res_blocks=2)
+        rem = tiny_model(num_res_blocks=2, remat=True)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        y1 = plain.apply(params, x)
+        y2 = rem.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+        g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(rem.apply(p, x) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-8)

@@ -139,9 +139,9 @@ class TestTrainerMesh:
         x = jnp.zeros((1, 22, 22, 9, 1), jnp.float32)
         params = model.init(jax.random.PRNGKey(0), x)["params"]
         sh = param_shardings(params, mesh)
-        exp = sh["expConv_0"]["kernel_v"].spec
+        exp = sh["resBlock_0"]["expand"]["kernel_v"].spec
         assert exp[-1] == "model"
-        dec = sh["decConv_0"]["kernel_v"].spec
+        dec = sh["resBlock_0"]["decay"]["kernel_v"].spec
         assert dec[-2] == "model"
         main = sh["mainConv1"]["kernel_v"].spec
         assert all(s is None for s in main)

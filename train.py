@@ -27,7 +27,9 @@ logger = logging.getLogger("train")
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", default="cfg/p16t9c85r12.cfg", type=str)
-    p.add_argument("--band", type=str, default="NIR")
+    p.add_argument("--band", type=str, default="NIR",
+                   help="NIR | RED | BOTH (sequential per-band runs, the "
+                        "reference's per-band process recipe)")
     p.add_argument("--modelType", type=str, default="patchNet",
                    choices=["patchNet", "fusionNet", "iwdsr"])
     p.add_argument("--mesh-data", type=int, default=0,
@@ -35,9 +37,15 @@ def parse_args():
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh size")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
     p.add_argument("--eval-step", type=int, default=1000)
     p.add_argument("--save-best-only", action="store_true")
+    p.add_argument("--device-data", action="store_true",
+                   help="pin the dataset in device memory and train via the "
+                        "lax.scan inner loop (single-chip fast path)")
+    p.add_argument("--profile-dir", type=str, default=None)
     return p.parse_args()
 
 
@@ -65,7 +73,8 @@ def patch_net(cfg, opt):
     logger.info("[ INFO ] Building model...")
     model_type = "iwdsr" if opt.modelType == "iwdsr" else "wdsr"
     model = build_model(cfg, opt.band, model_type=model_type,
-                        dtype=jnp.bfloat16 if opt.bf16 else jnp.float32)
+                        dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+                        remat=opt.remat and model_type == "wdsr")
 
     steps_per_epoch = max(1, len(x_train) // cfg.batch_size)
     tx = build_optimizer(cfg.optimizer, cfg.learning_rate,
@@ -87,10 +96,17 @@ def patch_net(cfg, opt):
         eval_step=opt.eval_step, mesh=mesh)
     trainer.init_state(x_train[:1])
 
-    result = trainer.fit(
-        x_train, [y_train, y_train_mask], cfg.batch_size, cfg.epochs,
-        val_data=[x_val, y_val, y_val_mask],
-        save_best_only=opt.save_best_only)
+    if opt.device_data:
+        result = trainer.fit_device(
+            x_train, [y_train, y_train_mask], cfg.batch_size, cfg.epochs,
+            val_data=[x_val, y_val, y_val_mask],
+            save_best_only=opt.save_best_only)
+    else:
+        result = trainer.fit(
+            x_train, [y_train, y_train_mask], cfg.batch_size, cfg.epochs,
+            val_data=[x_val, y_val, y_val_mask],
+            save_best_only=opt.save_best_only,
+            profile_dir=opt.profile_dir)
     logger.info("[ SUCCESS ] %s", result)
     logger.info("[ SUCCESS ] Checkpoints in %s", cfg.ckpt_dir(opt.band))
 
@@ -132,10 +148,13 @@ def main():
     opt = parse_args()
     from probav_tpu.config import Config
     cfg = Config.from_file(opt.cfg)
-    if opt.modelType == "fusionNet":
-        fusion_net(cfg, opt)
-    else:
-        patch_net(cfg, opt)
+    bands = ["NIR", "RED"] if opt.band.upper() == "BOTH" else [opt.band]
+    for band in bands:
+        opt.band = band
+        if opt.modelType == "fusionNet":
+            fusion_net(cfg, opt)
+        else:
+            patch_net(cfg, opt)
 
 
 if __name__ == "__main__":
