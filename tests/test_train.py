@@ -197,3 +197,37 @@ class TestDeviceResidentFit:
         for a, b in zip(p1, p2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-6)
+
+
+class TestScalarLogger:
+    def test_jsonl_and_split_writers(self, tmp_path):
+        import json, os
+        from probav_tpu.train import ScalarLogger
+        lg = ScalarLogger(str(tmp_path / "lg"), split_writers=True)
+        lg.scalar("Train PSNR", 42.0, 1)
+        lg.scalar("Test PSNR", 41.0, 1)
+        lg.close()
+        lines = [json.loads(l) for l in
+                 open(tmp_path / "lg" / "metrics.jsonl")]
+        assert {l["tag"] for l in lines} == {"Train PSNR", "Test PSNR"}
+        assert os.path.isdir(tmp_path / "lg" / "Train")
+        assert os.path.isdir(tmp_path / "lg" / "Test")
+
+
+class TestFetchTree:
+    def test_dtype_grouped_fetch_exact(self, rng):
+        import jax, jax.numpy as jnp
+        from probav_tpu.utils.io import fetch_tree_np
+        tree = {
+            "a": jnp.asarray(rng.uniform(size=(3, 5)), jnp.float32),
+            "b": {"c": jnp.asarray(rng.integers(0, 100, (4,)), jnp.int32),
+                  "d": jnp.asarray(2.5, jnp.float32)},
+            "host": np.arange(3),   # plain numpy passes through
+        }
+        out = fetch_tree_np(tree)
+        np.testing.assert_array_equal(out["a"], np.asarray(tree["a"]))
+        np.testing.assert_array_equal(out["b"]["c"], np.asarray(tree["b"]["c"]))
+        assert out["b"]["c"].dtype == np.int32
+        assert out["b"]["d"].shape == ()
+        assert float(out["b"]["d"]) == 2.5
+        np.testing.assert_array_equal(out["host"], np.arange(3))
