@@ -173,3 +173,21 @@ class TestRegistration:
         b = register_image_set_jax(imgs, msks)
         np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), atol=1e-2)
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
+class TestRevSSIMFaithfulness:
+    def test_fixed_points_of_reference_formula(self):
+        # The reference "structure" term uses VARIANCES, not stds
+        # (loss.py:208): struct = (2*cov + C3)/(var_hr*var_sr + C3).  For
+        # high-variance 16-bit data that drives pcs ~ 0, so a PERFECT
+        # prediction under a full mask lands at eta * 1.0 = 0.25 exactly —
+        # a quirky but faithful fixed point we pin, plus a seeded
+        # regression value for a garbage prediction.
+        losses = ShiftCompensatedLosses((48, 48, 1), use_pallas=False)
+        rng = np.random.default_rng(42)
+        hr = rng.uniform(0, 65535, (2, 48, 48, 1)).astype(np.float32)
+        mask = np.ones_like(hr)
+        assert abs(float(losses.rev_msssim(hr, mask, hr)) - 0.25) < 1e-4
+        pred = rng.uniform(0, 65535, (2, 48, 48, 1)).astype(np.float32)
+        val = float(losses.rev_msssim(hr, mask, pred))
+        assert abs(val - 1.29422) < 2e-3, val

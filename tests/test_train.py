@@ -81,9 +81,11 @@ class TestTrainerSingleDevice:
         trainer2.init_state(x[:1])
         assert int(trainer2.state.step) == trainer.ckpt_mngr.latest_step()
 
-    def test_training_actually_learns(self, tmp_path, rng):
+    def test_training_actually_learns(self, tmp_path):
         # Constant-upsample task: loss should drop markedly in a few steps.
-        x, hr, mask = tiny_data(rng, n=8)
+        # Private seed: the shared session rng's state depends on test
+        # order, which made this threshold assertion flaky.
+        x, hr, mask = tiny_data(np.random.default_rng(5), n=8)
         hr = np.repeat(np.repeat(x[:, 3:19, 3:19, 0, :], 3, 1), 3, 2)
         model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
                            exp_rate=2, decay_rate=0.8, num_img_lr=9,
