@@ -21,6 +21,9 @@ def parse_args():
     p.add_argument("--ckpt", default=None, type=str,
                    help="comma-separated stage list overriding the cfg")
     p.add_argument("--tech", default="freq", choices=["freq", "time"])
+    p.add_argument("--reg-backend", default="numpy", choices=["numpy", "jax"],
+                   help="'jax' batches the registration FFTs on the "
+                        "accelerator (freq technique only)")
     p.add_argument("--seed", default=0, type=int)
     return p.parse_args()
 
@@ -35,7 +38,8 @@ def main():
              if opt.ckpt else None)
     logging.info("[ CFG - INFO ] Using %s as config file...", opt.cfg)
     pipeline.run(cfg, opt.band, ckpts=ckpts,
-                 registration_tech=opt.tech, seed=opt.seed)
+                 registration_tech=opt.tech,
+                 registration_backend=opt.reg_backend, seed=opt.seed)
 
 
 if __name__ == "__main__":

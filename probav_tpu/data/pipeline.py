@@ -61,8 +61,8 @@ def _reflect_pad_hw(img_msk: np.ma.masked_array, pad: int) -> np.ma.masked_array
 
 
 def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
-        registration_tech: str = "freq", seed: int = 0,
-        progress: bool = True) -> None:
+        registration_tech: str = "freq", registration_backend: str = "numpy",
+        seed: int = 0, progress: bool = True) -> None:
     """Run the requested pipeline stages for one band."""
     ckpts = list(ckpts if ckpts is not None else cfg.ckpt)
     rng = np.random.default_rng(seed)
@@ -102,7 +102,8 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
 
         logger.info("Registering %s train frames...", band)
         all_lr = register_images(img_lr, msk_lr, tech=registration_tech,
-                                 progress=progress)
+                                 progress=progress,
+                                 backend=registration_backend)
         all_hr = qc.convert_to_masked_array(img_hr, msk_hr)
         dump_masked(all_hr, os.path.join(resolver_dir,
                                          f"TRAINimgHR_{band}.npy"))
@@ -120,7 +121,8 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         logger.info("Registering %s test frames...", band)
         all_lr_test = register_images(img_lr_t, msk_lr_t,
                                       tech=registration_tech,
-                                      progress=progress)
+                                      progress=progress,
+                                      backend=registration_backend)
         trm_lr_test = qc.remove_corrupted_test_sets(all_lr_test,
                                                     cfg.low_res_threshold)
         trm_lr_test = qc.pick_clear_frames_per_set(

@@ -153,10 +153,13 @@ def register_image_set(img_lr: np.ndarray, msk_lr: np.ndarray,
 
 
 def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
-                    tech: str = "freq", progress: bool = False) -> np.ma.masked_array:
+                    tech: str = "freq", progress: bool = False,
+                    backend: str = "numpy") -> np.ma.masked_array:
     """Register every scene (dataGenerator.py:599-613).
 
     [numImgSet, numFrames, C, H, W] -> masked array of the same shape.
+    ``backend='jax'`` runs each scene's FFT/argmax/roll batch under jit on
+    the accelerator (freq technique only).
     """
     sets = range(len(all_img_lr))
     if progress:
@@ -165,8 +168,12 @@ def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
             sets = tqdm(sets, desc="[ INFO ] Registering LR images")
         except Exception:
             pass
-    registered = [register_image_set(all_img_lr[i], all_msk_lr[i], tech=tech)
-                  for i in sets]
+    if backend == "jax" and tech == "freq":
+        registered = [register_image_set_jax(all_img_lr[i], all_msk_lr[i])
+                      for i in sets]
+    else:
+        registered = [register_image_set(all_img_lr[i], all_msk_lr[i],
+                                         tech=tech) for i in sets]
     try:
         return np.ma.stack(registered)
     except ValueError:
@@ -183,16 +190,16 @@ def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
 # batched JAX fast path (optional, for accelerated preprocessing)        #
 # --------------------------------------------------------------------- #
 
-def register_image_set_jax(img_lr: np.ndarray, msk_lr: np.ndarray) -> np.ma.masked_array:
-    """Same contract as register_image_set (freq tech), but all frames'
-    FFTs/argmax/rolls run batched under jit on the default JAX backend.
-    """
+_jax_align = None
+
+
+def _get_jax_align():
+    """Module-cached jitted aligner (jit caches per input shape)."""
+    global _jax_align
+    if _jax_align is not None:
+        return _jax_align
     import jax
     import jax.numpy as jnp
-
-    order = np.argsort([-np.count_nonzero(m) for m in msk_lr])
-    imgs = img_lr[order].astype(np.float32)
-    msks = (msk_lr[order] > 0)
 
     @jax.jit
     def _align(ref, frames, frame_msks):
@@ -213,8 +220,23 @@ def register_image_set_jax(img_lr: np.ndarray, msk_lr: np.ndarray) -> np.ma.mask
 
         return jax.vmap(roll_one)(frames, frame_msks, sy, sx)
 
-    reg_img, reg_msk = _align(jnp.asarray(imgs[0]), jnp.asarray(imgs[1:]),
-                              jnp.asarray(msks[1:]))
+    _jax_align = _align
+    return _align
+
+
+def register_image_set_jax(img_lr: np.ndarray, msk_lr: np.ndarray) -> np.ma.masked_array:
+    """Same contract as register_image_set (freq tech), but all frames'
+    FFTs/argmax/rolls run batched under jit on the default JAX backend.
+    """
+    import jax.numpy as jnp
+
+    order = np.argsort([-np.count_nonzero(m) for m in msk_lr])
+    imgs = img_lr[order].astype(np.float32)
+    msks = (msk_lr[order] > 0)
+
+    align = _get_jax_align()
+    reg_img, reg_msk = align(jnp.asarray(imgs[0]), jnp.asarray(imgs[1:]),
+                             jnp.asarray(msks[1:]))
     out_img = np.concatenate([imgs[:1], np.asarray(reg_img)], axis=0)
     out_msk = np.concatenate([msks[:1], np.asarray(reg_msk)], axis=0)
     return np.ma.masked_array(out_img.astype(np.float64), mask=~out_msk)
