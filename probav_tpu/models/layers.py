@@ -61,9 +61,14 @@ class WNConv(nn.Module):
     dtype: Dtype = jnp.float32        # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        ndim = len(self.kernel_size)
-        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+    def effective_kernel(self, in_features: int):
+        """(kernel, bias) with the weight-norm reparam applied.
+
+        Same parameter definitions as ``__call__`` (linen scopes methods of
+        one submodule together), so callers may fuse the conv elsewhere —
+        e.g. the Pallas wide-block kernel — without changing the param tree.
+        """
+        kshape = tuple(self.kernel_size) + (in_features, self.features)
         v = self.param("kernel_v", nn.initializers.glorot_uniform(), kshape,
                        jnp.float32)
         reduce_axes = tuple(range(v.ndim - 1))
@@ -75,6 +80,13 @@ class WNConv(nn.Module):
         g = self.param("wn_g", g_init, (self.features,), jnp.float32)
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=reduce_axes))
         kernel = v * (g / norm)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = len(self.kernel_size)
+        kernel, b = self.effective_kernel(x.shape[-1])
 
         y = lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
@@ -82,9 +94,7 @@ class WNConv(nn.Module):
             padding=self.padding,
             dimension_numbers=_DIMS[ndim],
         )
-        if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.features,),
-                           jnp.float32)
+        if b is not None:
             y = y + b.astype(self.dtype)
         return _ACTS[self.activation](y)
 

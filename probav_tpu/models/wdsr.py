@@ -67,21 +67,46 @@ def reduction_schedule(num_img: int, kernel_t: int) -> Sequence[dict]:
 
 class WDSRBlock(nn.Module):
     """WDSR-B wide-activation residual block (modelsTF.py:177-189):
-    1x1x1 expand x exp_rate (relu) -> 1x1x1 decay -> k^3 conv -> add."""
+    1x1x1 expand x exp_rate (relu) -> 1x1x1 decay -> k^3 conv -> add.
+
+    ``fused=True`` runs expand->relu->decay through the Pallas wide-block
+    kernel (ops/pallas_wide_block.py), which streams row tiles through VMEM
+    instead of materializing the [*, filters*exp_rate] activation in HBM —
+    the model's dominant memory traffic.  The parameter tree is identical
+    in both modes.
+    """
 
     num_filters: int
     exp_rate: int
     decay_rate: float
     kernel_size: Tuple[int, int, int]
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray) -> jnp.ndarray:
         f = self.num_filters
-        x = WNConv(f * self.exp_rate, (1, 1, 1), "SAME", "relu",
-                   dtype=self.dtype, name="expand")(x_in)
-        x = WNConv(int(f * self.decay_rate), (1, 1, 1), "SAME", None,
-                   dtype=self.dtype, name="decay")(x)
+        c_mid = f * self.exp_rate
+        c_dec = int(f * self.decay_rate)
+        expand = WNConv(c_mid, (1, 1, 1), "SAME", "relu",
+                        dtype=self.dtype, name="expand")
+        decay = WNConv(c_dec, (1, 1, 1), "SAME", None,
+                       dtype=self.dtype, name="decay")
+        if self.fused:
+            from probav_tpu.ops.pallas_wide_block import fused_expand_decay
+            c_in = x_in.shape[-1]
+            k1, b1 = expand.effective_kernel(c_in)
+            k2, b2 = decay.effective_kernel(c_mid)
+            flat = x_in.reshape(-1, c_in).astype(self.dtype)
+            y = fused_expand_decay(
+                flat,
+                k1.reshape(c_in, c_mid).astype(self.dtype),
+                b1.astype(self.dtype),
+                k2.reshape(c_mid, c_dec).astype(self.dtype),
+                b2.astype(self.dtype))
+            x = y.reshape(x_in.shape[:-1] + (c_dec,))
+        else:
+            x = decay(expand(x_in))
         x = WNConv(f, self.kernel_size, "SAME", None, dtype=self.dtype,
                    name="conv")(x)
         return x + x_in
@@ -107,6 +132,7 @@ class WDSRConv3D(nn.Module):
     std: float = 1.0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,7 +158,8 @@ class WDSRConv3D(nn.Module):
         block_cls = nn.remat(WDSRBlock) if self.remat else WDSRBlock
         for i in range(self.num_res_blocks):
             x = block_cls(f, self.exp_rate, self.decay_rate, k,
-                          dtype=self.dtype, name=f"resBlock_{i}")(x)
+                          dtype=self.dtype, fused=self.fused_block,
+                          name=f"resBlock_{i}")(x)
         for s, step in enumerate(reduction_schedule(self.num_img_lr, k[2])):
             ph, pw, pt = step["pad"]
             if ph or pw or pt:
@@ -274,7 +301,8 @@ class FuseNetConv2D(nn.Module):
 
 
 def build_model(cfg, band: str, model_type: str = "wdsr",
-                dtype: Dtype = jnp.float32, remat: bool = False) -> nn.Module:
+                dtype: Dtype = jnp.float32, remat: bool = False,
+                fused_block: bool = False) -> nn.Module:
     """Construct the model described by a Config for one band.
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size
@@ -284,7 +312,8 @@ def build_model(cfg, band: str, model_type: str = "wdsr",
         return FuseNetConv2D(dtype=dtype)
     mean, std = cfg.band_stats(band)
     cls = {"wdsr": WDSRConv3D, "iwdsr": IWDSRConv3D}[model_type]
-    extra = {"remat": remat} if model_type == "wdsr" else {}
+    extra = ({"remat": remat, "fused_block": fused_block}
+             if model_type == "wdsr" else {})
     return cls(
         **extra,
         scale=cfg.scale,
