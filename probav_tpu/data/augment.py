@@ -13,7 +13,7 @@ LR layout here is the model layout [N, H, W, T, C]; HR is [N, H, W, 1].
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

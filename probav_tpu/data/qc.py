@@ -24,7 +24,7 @@ reference used the global numpy RNG, i.e. irreproducible runs).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ unchanged: LR [N, k, C, h, w] masked, HR [N, 1, C, H, W] masked.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ leaderboard score is mean(norm_i / cPSNR_i) — lower is better.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

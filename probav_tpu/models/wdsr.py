@@ -27,7 +27,7 @@ T in {7, 9, 13}; T=19 keeps the reference's experimental bespoke schedule.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -32,8 +32,6 @@ revision; enable per-block with WDSRBlock(fused=True).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
