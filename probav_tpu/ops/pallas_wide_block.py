@@ -1,33 +1,42 @@
-"""Fused Pallas kernel for the WDSR-B wide bottleneck (expand->relu->decay).
+"""Hybrid fused backward for the WDSR-B wide bottleneck (expand->relu->decay).
 
-The flagship model is HBM-bandwidth-bound: the 1x1x1 expand conv writes a
-[B*H*W*T, filters*exp_rate] activation (571 MB/block at batch 128 f32) that
-the decay conv immediately re-reads, and autodiff stores it again for the
-backward pass — measured ~60% of the 62 GB/step the XLA graph moves.  Both
-convs are pure matmuls over the position axis, so this kernel streams row
-tiles through VMEM and chains
+The flagship model is HBM-bandwidth-bound, dominated by the BACKWARD pass
+over the wide (x exp_rate) block activations: XLA's autodiff materializes
+dz [N, C_mid] and the saved relu output per block.  The forward is left to
+XLA (its pipelined fusion already moves only ~5 GB and beats a hand kernel),
+while the backward is ONE Pallas kernel per block that recomputes the wide
+intermediate tile-by-tile in VMEM and emits dx plus per-tile partial dW/db:
 
-    z = x @ W1 + b1 ; h = relu(z) ; y = h @ W2 + b2
-
-on the MXU without ever materializing ``h`` in HBM.  The custom VJP
-recomputes ``h`` tile-by-tile in the backward kernel (flops are free here)
-and accumulates dW/db across the sequential TPU grid:
-
+    z   = x @ W1 + b1 ; h = relu(z)          (recomputed, never stored)
     dz  = (dy @ W2^T) * (z > 0)
-    dx  = dz @ W1^T          dW1 = x^T dz    db1 = sum(dz)
-    dW2 = h^T dy             db2 = sum(dy)
+    dx  = dz @ W1^T
+    dW1[i] = x_i^T dz_i   db1[i] = sum(dz_i)  (partials, summed by XLA)
+    dW2[i] = h_i^T dy_i   db2[i] = sum(dy_i)
+
+Partial (per-grid-step) dW outputs matter: accumulating into one
+revisited output block serializes the pipeline (measured 62 ms); with
+per-tile partials + an XLA-side sum the same kernel runs 4.5 ms vs XLA
+autodiff's 5.75 ms for the block chain at N=557K.
+
+Numerics: gradients match XLA/numpy exactly except at relu boundary rows
+(|z| within bf16 noise of 0 — the terminal forces
+--xla_allow_excess_precision, so every implementation's mask flips there;
+subgradient choice at the kink is arbitrary for training).
+
+STATUS — measured on v5e, flagship model, batch 128:
+- kernel level: this backward BEATS XLA autodiff (4.5 ms vs 5.75 ms for one
+  block chain at N=557K);
+- model level: wrapping each block in custom_vjp is a net LOSS (full step
+  182 ms / 104 GB vs 83 ms / 62.5 GB plain), and a differential test with a
+  pure-XLA backward inside the same custom_vjp shows the SAME regression
+  (166 ms / 102 GB) — the opaque custom_vjp boundary per block defeats
+  XLA's cross-block fusion/layout planning, which outweighs the kernel win.
+Hence OPT-IN (WDSRBlock(fused=True)); the round-2 path is fusing the whole
+12-block backward into one kernel so there is a single boundary.
 
 Weight-norm reparameterization stays OUTSIDE the kernel (effective weights
 are computed in traced JAX code, so v/g gradients chain automatically).
-
-STATUS: numerically verified on hardware (fwd bit-exact vs the unfused
-model, isolated VJP parity ~1e-7) but OPT-IN and currently SLOWER than
-XLA's own fusion: measured on v5e at batch 128, XLA's forward moves only
-~5 GB (it pipelines the wide intermediate), while this kernel's 2048-row
-tiles underutilize the MXU (K=32, N=25 contractions) and the reshape at
-the pallas boundary forces layout conversions — full-step 725 patches/s
-fused vs 1544 unfused.  Kept as the scaffold for a future tile-optimized
-revision; enable per-block with WDSRBlock(fused=True).
+Enable per-block with WDSRBlock(fused=True) / build_model(fused_block=True).
 """
 
 from __future__ import annotations
@@ -37,57 +46,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 2048
+TILE_ROWS = 2048   # larger tiles exceed the 16 MB VMEM scoped limit
 
-
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
-    z = jnp.dot(x_ref[...], w1_ref[...],
-                preferred_element_type=jnp.float32) + b1_ref[...]
-    h = jnp.maximum(z, 0.0)
-    y = jnp.dot(h, w2_ref[...],
-                preferred_element_type=jnp.float32) + b2_ref[...]
-    y_ref[...] = y.astype(y_ref.dtype)
+INTERPRET = False  # route pallas_call through the interpreter (CPU tests)
 
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
-    i = pl.program_id(0)
-
     x = x_ref[...]
     dy = dy_ref[...].astype(jnp.float32)
     z = jnp.dot(x, w1_ref[...],
                 preferred_element_type=jnp.float32) + b1_ref[...]
     h = jnp.maximum(z, 0.0)
-    dz = jnp.dot(dy, w2_ref[...].T,
-                 preferred_element_type=jnp.float32)
+    dz = jnp.dot(dy, w2_ref[...].T, preferred_element_type=jnp.float32)
     dz = jnp.where(z > 0.0, dz, 0.0)
 
     dx_ref[...] = jnp.dot(dz, w1_ref[...].T,
                           preferred_element_type=jnp.float32
                           ).astype(dx_ref.dtype)
-
-    # Cross-tile accumulators (TPU grid runs sequentially on one core).
-    dw1 = jax.lax.dot_general(x.astype(jnp.float32), dz,
-                              (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dw2 = jax.lax.dot_general(h, dy, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    db1 = jnp.sum(dz, axis=0, keepdims=True)
-    db2 = jnp.sum(dy, axis=0, keepdims=True)
-
-    @pl.when(i == 0)
-    def _():
-        dw1_ref[...] = dw1
-        dw2_ref[...] = dw2
-        db1_ref[...] = db1
-        db2_ref[...] = db2
-
-    @pl.when(i > 0)
-    def _():
-        dw1_ref[...] += dw1
-        dw2_ref[...] += dw2
-        db1_ref[...] += db1
-        db2_ref[...] += db2
+    dw1_ref[0] = jax.lax.dot_general(
+        x.astype(jnp.float32), dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_ref[0] = jax.lax.dot_general(
+        h, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[0] = jnp.sum(dz, axis=0, keepdims=True)
+    db2_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
 
 
 def _pad_rows(x, tile):
@@ -99,46 +83,17 @@ def _pad_rows(x, tile):
     return x, n
 
 
-def _fwd(x, w1, b1, w2, b2, interpret=False):
-    xp, n = _pad_rows(x, TILE_ROWS)
-    np_, cin = xp.shape
-    cmid = w1.shape[1]
-    cout = w2.shape[1]
-    b1r = b1.reshape(1, cmid)
-    b2r = b2.reshape(1, cout)
-    y = pl.pallas_call(
-        _fwd_kernel,
-        grid=(np_ // TILE_ROWS,),
-        in_specs=[
-            pl.BlockSpec((TILE_ROWS, cin), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cmid), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmid), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmid, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE_ROWS, cout), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, cout), x.dtype),
-        interpret=interpret,
-    )(xp, w1, b1r, w2, b2r)
-    return y[:n]
-
-
 def _bwd(x, w1, b1, w2, dy, interpret=False):
     xp, n = _pad_rows(x, TILE_ROWS)
     dyp, _ = _pad_rows(dy, TILE_ROWS)
     np_, cin = xp.shape
     cmid = w1.shape[1]
     cout = w2.shape[1]
+    grid = np_ // TILE_ROWS
     b1r = b1.reshape(1, cmid)
-    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+    dx, dw1p, db1p, dw2p, db2p = pl.pallas_call(
         _bwd_kernel,
-        grid=(np_ // TILE_ROWS,),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec((TILE_ROWS, cin), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -154,41 +109,40 @@ def _bwd(x, w1, b1, w2, dy, interpret=False):
         out_specs=(
             pl.BlockSpec((TILE_ROWS, cin), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cmid), lambda i: (0, 0),
+            pl.BlockSpec((1, cin, cmid), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmid), lambda i: (0, 0),
+            pl.BlockSpec((1, 1, cmid), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmid, cout), lambda i: (0, 0),
+            pl.BlockSpec((1, cmid, cout), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i: (0, 0),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((np_, cin), x.dtype),
-            jax.ShapeDtypeStruct((cin, cmid), jnp.float32),
-            jax.ShapeDtypeStruct((1, cmid), jnp.float32),
-            jax.ShapeDtypeStruct((cmid, cout), jnp.float32),
-            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((grid, cin, cmid), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1, cmid), jnp.float32),
+            jax.ShapeDtypeStruct((grid, cmid, cout), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1, cout), jnp.float32),
         ),
         interpret=interpret,
     )(xp, w1, b1r, w2, dyp)
-    return dx[:n], dw1, db1.reshape(-1), dw2, db2.reshape(-1)
-
-
-INTERPRET = False
+    return (dx[:n], dw1p.sum(axis=0), db1p.sum(axis=0)[0],
+            dw2p.sum(axis=0), db2p.sum(axis=0)[0])
 
 
 @jax.custom_vjp
 def fused_expand_decay(x, w1, b1, w2, b2):
-    """relu(x @ w1 + b1) @ w2 + b2 without materializing the wide tensor.
+    """relu(x @ w1 + b1) @ w2 + b2 with the fused Pallas backward.
 
-    x: [N, C_in]; w1: [C_in, C_mid]; w2: [C_mid, C_out].
+    x: [N, C_in]; w1: [C_in, C_mid]; w2: [C_mid, C_out].  Forward is plain
+    XLA (its fusion wins); backward is one fused kernel (see module doc).
     """
-    return _fwd(x, w1, b1, w2, b2, interpret=INTERPRET)
+    return jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
 
 
 def _vjp_fwd(x, w1, b1, w2, b2):
-    return _fwd(x, w1, b1, w2, b2, interpret=INTERPRET), (x, w1, b1, w2)
+    return fused_expand_decay(x, w1, b1, w2, b2), (x, w1, b1, w2)
 
 
 def _vjp_bwd(res, dy):
