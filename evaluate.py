@@ -53,13 +53,22 @@ def main():
     logger.info("[ SAVE ] %s", out)
 
     if opt.norm_csv:
+        from probav_tpu.config import BAND_OFFSETS
+        from probav_tpu.infer import load_removed_sets
+
         norms = load_norm_csv(opt.norm_csv)
         scores = {}
-        idx = 0
         for band in results:
+            # Mirror the submission writer's numbering (test.py:79-100):
+            # per-band TRAIN offset, skipping removed scene ids, so each
+            # cPSNR divides the matching scene's norm.
+            i = BAND_OFFSETS[("TRAIN", band)]
+            removed = set(load_removed_sets(band))
             for v in results[band]["candidate"]:
-                scores[f"imgset{idx:04d}"] = float(v)
-                idx += 1
+                while i in removed:
+                    i += 1
+                scores[f"imgset{i:04d}"] = float(v)
+                i += 1
         logger.info("[ SCORE ] normalized (lower is better): %.4f",
                     normalized_score(scores, norms))
 

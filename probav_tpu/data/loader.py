@@ -101,8 +101,9 @@ def prefetch_to_device(it: Iterable, size: int = 2, sharding=None,
         try:
             for batch in it:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            q.put(exc)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -110,4 +111,8 @@ def prefetch_to_device(it: Iterable, size: int = 2, sharding=None,
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            # Surface producer failures instead of truncating the stream
+            # (a swallowed error would let training "succeed" early).
+            raise item
         yield item

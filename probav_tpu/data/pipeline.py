@@ -65,7 +65,9 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         seed: int = 0, progress: bool = True) -> None:
     """Run the requested pipeline stages for one band."""
     ckpts = list(ckpts if ckpts is not None else cfg.ckpt)
-    rng = np.random.default_rng(seed)
+    # Independent per-stage streams so resuming a single stage (the ckpt
+    # mechanism's whole point) draws the same randomness as a full run.
+    stage_rng = {s: np.random.default_rng([seed, s]) for s in (1, 2, 3, 4, 5)}
 
     array_dir = cfg.stage_dir("arrayDir")
     trimmed_dir = cfg.stage_dir("trimmedArrayDir")
@@ -116,7 +118,7 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         if len(removed):
             print(f"[ WARNING ] Imgsets {removed} were removed")
         trm_lr = qc.pick_clear_frames_per_set(
-            trm_lr, k_pre, cfg.low_res_threshold, rng)
+            trm_lr, k_pre, cfg.low_res_threshold, stage_rng[2])
 
         logger.info("Registering %s test frames...", band)
         all_lr_test = register_images(img_lr_t, msk_lr_t,
@@ -126,7 +128,7 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         trm_lr_test = qc.remove_corrupted_test_sets(all_lr_test,
                                                     cfg.low_res_threshold)
         trm_lr_test = qc.pick_clear_frames_per_set(
-            trm_lr_test, k_pre, cfg.low_res_threshold, rng)
+            trm_lr_test, k_pre, cfg.low_res_threshold, stage_rng[2])
 
         logger.info("Saving %s trimmed dataset...", band)
         dump_masked(trm_lr, os.path.join(trimmed_dir, f"TRAINimgLR_{band}.npy"))
@@ -141,11 +143,14 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         pad = cfg.max_shift // 2
         lr_patch = cfg.patch_size + cfg.max_shift
 
+        train_lr_width = None
         for split_key, stride in (("TEST", cfg.patch_size),
                                   ("TRAIN", cfg.patch_stride)):
             logger.info("Generating %s %s LR patches...", split_key, band)
             lr = load_npy(os.path.join(trimmed_dir,
                                        f"{split_key}imgLR_{band}.npy"))
+            if split_key == "TRAIN":
+                train_lr_width = lr.shape[-1]   # pre-pad width, for scale
             if cfg.max_shift > 0:
                 lr = _reflect_pad_hw(lr, pad)
             patches = _patch_scenes(lr, lr_patch, stride)
@@ -156,9 +161,7 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
 
         logger.info("Generating TRAIN %s HR patches...", band)
         hr = load_npy(os.path.join(trimmed_dir, f"TRAINimgHR_{band}.npy"))
-        lr_shape = load_npy(os.path.join(
-            trimmed_dir, f"TRAINimgLR_{band}.npy")).shape
-        scale_up = hr.shape[-1] // lr_shape[-1]
+        scale_up = hr.shape[-1] // train_lr_width
         hr_patch = cfg.patch_size * scale_up
         patches_hr = _patch_scenes(hr, hr_patch, hr_patch)
         dump_masked(patches_hr, os.path.join(
@@ -224,7 +227,7 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         del lr_val, hr_val
 
         n_perm = cfg.get("num_low_res_permute", 0)
-        lr_tr = aug.augment_by_shuffling(lr_tr, n_perm, rng)
+        lr_tr = aug.augment_by_shuffling(lr_tr, n_perm, stage_rng[5])
         hr_tr = aug.tile_hr_for_permutations(hr_tr, n_perm)
         if cfg.get("to_flip", False):
             lr_tr = aug.augment_by_flipping(lr_tr)

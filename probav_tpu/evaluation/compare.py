@@ -83,12 +83,23 @@ def compare_runs(preprocessing_out: str, benchmark_dir: str,
     cand = load_scene_dir(candidate_dir, limit=len(hr))
     n = min(len(hr), len(bench), len(cand))
     hr, bench, cand = hr[:n], bench[:n], cand[:n]
+
+    # Per-band extents follow the bands actually loaded (concatenated in
+    # order by load_hr_scenes); the reference's fixed 0..594 split only
+    # applies to the full RED+NIR layout.
+    counts = {}
+    for band in bands:
+        arr = load_npy(os.path.join(preprocessing_out, "resolverDir",
+                                    f"TRAINimgHR_{band}.npy"))
+        counts[band] = len(arr)
+    if tuple(bands) == ("RED", "NIR"):
+        counts["RED"] = min(counts["RED"], red_count)
+
     out = {}
-    band_slices = [("RED", slice(0, red_count)),
-                   ("NIR", slice(red_count, None))]
-    for band, sl in band_slices:
-        if band not in bands:
-            continue
+    start = 0
+    for band in bands:
+        sl = slice(start, start + counts[band])
+        start += counts[band]
         h = hr[sl]
         if len(h) == 0:
             continue

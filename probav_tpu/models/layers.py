@@ -108,10 +108,14 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        gamma = self.param("gamma", nn.initializers.uniform(scale=1.0), (c,),
-                           jnp.float32)
-        beta = self.param("beta", nn.initializers.uniform(scale=1.0), (c,),
-                          jnp.float32)
+        # keras 'random_uniform' initializer semantics: U(-0.05, 0.05)
+        # (the reference passes the string name, modelsTF.py:326-327).
+        def init(key, shape, dtype=jnp.float32):
+            import jax
+            return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+
+        gamma = self.param("gamma", init, (c,), jnp.float32)
+        beta = self.param("beta", init, (c,), jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
         mu = jnp.mean(x, axis=axes, keepdims=True)
         var = jnp.var(x, axis=axes, keepdims=True)

@@ -67,7 +67,12 @@ def masked_phase_correlation_shift(reference: np.ndarray, moving: np.ndarray,
     m1 = reference_mask.astype(np.float64)
     m2 = moving_mask.astype(np.float64)
 
-    fft = np.fft.fftn
+    # Zero-pad to the 'full' linear-correlation size (2N-1 per axis) as the
+    # Padfield formulation requires: with unpadded circular FFTs, overlap
+    # counts and the NCC surface wrap around the borders and can elect a
+    # spurious wrapped translation.
+    pad_shape = tuple(2 * s - 1 for s in reference.shape)
+    fft = lambda x: np.fft.fftn(x, s=pad_shape)
     ifft = lambda x: np.real(np.fft.ifftn(x))
     f1, f2 = fft(fixed), fft(moving_img)
     fm1, fm2 = fft(m1), fft(m2)
@@ -87,11 +92,13 @@ def masked_phase_correlation_shift(reference: np.ndarray, moving: np.ndarray,
         ncc = num / np.sqrt(var1 * var2 + eps)
 
     ncc[overlap < overlap_ratio * overlap.max()] = -np.inf
-    shape = np.array(reference.shape)
-    maxima = np.unravel_index(np.argmax(ncc), reference.shape)
-    shifts = np.array(maxima, dtype=np.float64)
-    midpoints = np.fix(shape / 2)
-    shifts[shifts > midpoints] -= shape[shifts > midpoints]
+    maxima = np.unravel_index(np.argmax(ncc), pad_shape)
+    # Padded 'full' correlation: index k maps to displacement k for
+    # k < n, else k - (2n - 1).
+    shifts = np.array([
+        float(k) if k < n else float(k - p)
+        for k, n, p in zip(maxima, reference.shape, pad_shape)
+    ])
     return shifts
 
 

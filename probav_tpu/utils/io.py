@@ -26,8 +26,15 @@ def read_png(path: str) -> np.ndarray:
 
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """Write a 2D uint16 grayscale PNG (submission format)."""
-    _iio.imwrite(path, np.ascontiguousarray(img.astype(np.uint16)))
+    """Write a 2D uint16 grayscale PNG (submission format).
+
+    Clips to the uint16 range first: the reference clips predictions to
+    2**16 (test.py:118) and then casts, silently WRAPPING saturated pixels
+    (65536 -> 0, brightest becomes black); clamping here fixes that without
+    touching the resolve math.
+    """
+    _iio.imwrite(path, np.ascontiguousarray(
+        np.clip(img, 0, 65535).astype(np.uint16)))
 
 
 def dump_masked(arr: Any, path: str) -> None:

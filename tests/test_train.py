@@ -176,9 +176,10 @@ class TestDeviceResidentFit:
         assert np.isfinite(res["val_loss"])
         assert trainer.ckpt_mngr.latest_step() is not None
 
-    def test_fit_device_matches_fit_first_step(self, tmp_path, rng):
+    def test_fit_device_matches_fit_first_step(self, tmp_path):
         # One full-batch step with identical init and data -> same loss.
-        x, hr, mask = tiny_data(rng, n=8)
+        # Private seed: shared session-rng state depends on test order.
+        x, hr, mask = tiny_data(np.random.default_rng(13), n=8)
         _, t1 = tiny_setup(tmp_path / "a")
         t1.init_state(x[:1], rng_seed=11)
         t1._build_steps()
