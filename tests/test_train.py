@@ -234,3 +234,25 @@ class TestFetchTree:
         assert out["b"]["d"].shape == ()
         assert float(out["b"]["d"]) == 2.5
         np.testing.assert_array_equal(out["host"], np.arange(3))
+
+
+class TestTensorParallelSharding:
+    def test_expand_params_physically_sharded(self, tmp_path):
+        # On a (data=4, model=2) mesh the expand conv's out-channel axis must
+        # be physically split across the 'model' axis — each device holds
+        # half the channels — and the batch must split over 'data'.
+        mesh = make_mesh(num_data=4, num_model=2)
+        x, hr, mask = tiny_data(np.random.default_rng(3), n=8)
+        model, trainer = tiny_setup(tmp_path, mesh=mesh, num_filters=8)
+        trainer.init_state(x[:1])
+        v = trainer.state.params["resBlock_0"]["expand"]["kernel_v"]
+        full = v.shape[-1]
+        shard = v.addressable_shards[0].data.shape[-1]
+        assert shard == full // 2, (shard, full)
+        # replicated param stays whole
+        m = trainer.state.params["mainConv1"]["kernel_v"]
+        assert m.addressable_shards[0].data.shape == m.shape
+        # and the sharded step still runs
+        trainer._build_steps()
+        _, loss, _ = trainer._jit_train(trainer.state, x, hr, mask)
+        assert np.isfinite(float(loss))
