@@ -51,6 +51,18 @@ def load_scene_dir(path: str, limit: Optional[int] = None) -> np.ndarray:
     return np.stack(imgs)
 
 
+def _scene_ids(path: str) -> Optional[list]:
+    """Scene ids parsed from imgsetNNNN.png names; None if nonconforming."""
+    import re
+    ids = []
+    for n in sorted(os.listdir(path)):
+        m = re.fullmatch(r"imgset(\d+)\.png", n)
+        if not m:
+            return None
+        ids.append(int(m.group(1)))
+    return ids
+
+
 def per_scene_cpsnr(hr: np.ma.masked_array, pred: np.ndarray,
                     batch: int = 16) -> np.ndarray:
     """Shift-compensated cPSNR per scene; hr is masked [S,H,W,1]."""
@@ -60,7 +72,7 @@ def per_scene_cpsnr(hr: np.ma.masked_array, pred: np.ndarray,
     import jax
     fn = jax.jit(losses.cpsnr)
     out = []
-    mask = (~np.asarray(hr.mask)).astype(np.float32)
+    mask = (~np.ma.getmaskarray(hr)).astype(np.float32)
     data = np.asarray(hr, dtype=np.float32)
     for s in range(0, len(hr), batch):
         out.append(np.asarray(fn(data[s:s + batch], mask[s:s + batch],
@@ -81,12 +93,13 @@ def compare_runs(preprocessing_out: str, benchmark_dir: str,
     hr = load_hr_scenes(preprocessing_out, bands=bands)
     bench = load_scene_dir(benchmark_dir, limit=len(hr))
     cand = load_scene_dir(candidate_dir, limit=len(hr))
-    n = min(len(hr), len(bench), len(cand))
-    hr, bench, cand = hr[:n], bench[:n], cand[:n]
 
-    # Per-band extents follow the bands actually loaded (concatenated in
-    # order by load_hr_scenes); the reference's fixed 0..594 split only
-    # applies to the full RED+NIR layout.
+    # Align predictions to ground truth BY SCENE ID when the directory uses
+    # the submission naming: the HR array contains every scene (saved
+    # pre-trim, pipeline stage 2) while predictions skip removed ids, so
+    # positional pairing — the reference's behavior (evaluate.py:90-103) —
+    # silently mis-scores everything after the first removed scene.
+    ids = _scene_ids(benchmark_dir)
     counts = {}
     for band in bands:
         arr = load_npy(os.path.join(preprocessing_out, "resolverDir",
@@ -95,11 +108,41 @@ def compare_runs(preprocessing_out: str, benchmark_dir: str,
     if tuple(bands) == ("RED", "NIR"):
         counts["RED"] = min(counts["RED"], red_count)
 
+    hr_rows: list = []
+    band_of: list = []
+    if (ids is not None and ids == _scene_ids(candidate_dir)
+            and len(ids) == len(bench) == len(cand)):
+        from probav_tpu.config import BAND_OFFSETS
+        base = 0
+        for band in bands:
+            off = BAND_OFFSETS[("TRAIN", band)]
+            for k, sid in enumerate(ids):
+                if off <= sid < off + counts[band]:
+                    hr_rows.append(base + sid - off)
+                    band_of.append((band, k))
+            base += counts[band]
+    if hr_rows:   # ids resolved to band scene ranges — align by id
+        hr = hr[np.asarray(hr_rows, dtype=np.int64)]
+        keep = np.asarray([k for _, k in band_of])
+        bench, cand = bench[keep], cand[keep]
+        spans = {}
+        for i, (band, _) in enumerate(band_of):
+            spans.setdefault(band, [i, i])[1] = i
+        band_slices = [(band, slice(lo, hi + 1))
+                       for band, (lo, hi) in spans.items()]
+    else:
+        # Positional pairing (the reference's behavior) for nonconforming
+        # file names: trim all three stacks to the common length.
+        n = min(len(hr), len(bench), len(cand))
+        hr, bench, cand = hr[:n], bench[:n], cand[:n]
+        band_slices = []
+        start = 0
+        for band in bands:
+            band_slices.append((band, slice(start, start + counts[band])))
+            start += counts[band]
+
     out = {}
-    start = 0
-    for band in bands:
-        sl = slice(start, start + counts[band])
-        start += counts[band]
+    for band, sl in band_slices:
         h = hr[sl]
         if len(h) == 0:
             continue
