@@ -20,7 +20,7 @@ HR_SIZE = 96
 SCALE = 3
 
 
-def _base_scene(rng, size=LR_SIZE):
+def _base_scene(rng, size):
     # Smooth-ish random field so phase correlation locks on.
     x = rng.uniform(0, 1, (size, size))
     k = np.ones((3, 3)) / 9.0
@@ -33,7 +33,8 @@ def _base_scene(rng, size=LR_SIZE):
 
 
 def make_raw_tree(root: str, bands=("NIR", "RED"), train_scenes=3,
-                  test_scenes=2, frames=5, seed=0) -> str:
+                  test_scenes=2, frames=5, seed=0, lr_size=None) -> str:
+    lr_size = lr_size if lr_size is not None else LR_SIZE
     rng = np.random.default_rng(seed)
     for band in bands:
         for split, n_scenes, with_hr in (("train", train_scenes, True),
@@ -41,7 +42,7 @@ def make_raw_tree(root: str, bands=("NIR", "RED"), train_scenes=3,
             for s in range(n_scenes):
                 d = os.path.join(root, split, band, f"imgset{s:04d}")
                 os.makedirs(d, exist_ok=True)
-                base = _base_scene(rng)
+                base = _base_scene(rng, lr_size)
                 for f in range(frames):
                     dy, dx = rng.integers(-2, 3, size=2)
                     frame = np.roll(base, (dy, dx), axis=(0, 1))
@@ -52,7 +53,7 @@ def make_raw_tree(root: str, bands=("NIR", "RED"), train_scenes=3,
                     qm = np.full(frame.shape, 255, np.uint16)
                     # occlude a random block on some frames
                     if f % 3 == 1:
-                        y0, x0 = rng.integers(0, LR_SIZE - 8, size=2)
+                        y0, x0 = rng.integers(0, lr_size - 8, size=2)
                         qm[y0:y0 + 8, x0:x0 + 8] = 0
                     write_png(os.path.join(d, f"QM{f:03d}.png"), qm)
                 if with_hr:

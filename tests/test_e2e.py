@@ -199,3 +199,47 @@ class TestTrainInferEval:
         np.testing.assert_array_equal(psnr, results["NIR"]["benchmark"])
         plot = scatter_plot(results, str(root / "cmp.png"))
         assert os.path.exists(plot)
+
+
+class TestFullESAGeometry:
+    def test_pipeline_and_resolve_at_128_to_384(self, tmp_path, rng):
+        """Real ESA scene geometry: 128x128 LR -> 8x8 grid of 22^2 patches
+        -> 384^2 reconstruction -> uint16 submission PNG."""
+        import jax
+        from synthetic_data import make_raw_tree, write_cfg
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver, write_submission
+
+        raw = make_raw_tree(str(tmp_path / "raw"), bands=("NIR",),
+                            train_scenes=2, test_scenes=1, frames=6,
+                            lr_size=128)
+        cfgp = write_cfg(str(tmp_path / "synth.cfg"), raw=raw,
+                         out=str(tmp_path / "chkpt"),
+                         model_out=str(tmp_path / "mi"),
+                         train_out=str(tmp_path / "to"),
+                         test_out=str(tmp_path / "te"))
+        cfg = Config.from_file(cfgp)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            pipeline.run(cfg, "NIR", progress=False)
+        finally:
+            os.chdir(cwd)
+
+        p = load_npy(str(tmp_path / "chkpt" / "resolverDir" /
+                         "TESTpatchesLR_NIR.npy"))
+        assert p.shape == (1, 64, 9, 1, 22, 22), p.shape
+
+        model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                           exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                           patch_size_lr=16, mean=8075.2045, std=3160.7272)
+        patches = np.asarray(p, np.float32).transpose(0, 1, 4, 5, 2, 3)
+        params = model.init(jax.random.PRNGKey(0), patches[0][:1])["params"]
+        scenes = Resolver(model, params, scene_size=384).resolve_all(
+            patches, progress=False)
+        assert scenes[0].shape == (384, 384, 1)
+        written = write_submission(scenes, str(tmp_path / "subm"), "NIR",
+                                   "TEST", removed=[])
+        img = read_png(written[0])
+        assert img.shape == (384, 384) and img.dtype == np.uint16
+        assert os.path.basename(written[0]) == "imgset1306.png"
