@@ -39,21 +39,35 @@ def load_removed_sets(band: str, search_dir: str = ".") -> List[int]:
 
 
 class Resolver:
-    """Scene-at-a-time super-resolution with a jitted full-grid forward."""
+    """Scene-at-a-time super-resolution with a jitted full-grid forward.
+
+    Pass a ``mesh`` (probav_tpu.parallel.make_mesh) to shard each scene's
+    patch grid over the 'data' axis — multi-chip serving where every chip
+    resolves a slice of the 8x8 grid (the grid size must divide by the data
+    axis; 64 patches over 2/4/8 chips all work).
+    """
 
     def __init__(self, model, params, scene_size: int = 384,
-                 bit_depth: int = 16):
+                 bit_depth: int = 16, mesh=None):
         self.model = model
         self.params = params
         self.scene_size = scene_size
         self.clip_max = float(2 ** bit_depth)   # test.py:118 clips to 2**16
 
-        @jax.jit
-        def _resolve(params, patches):
+        def _resolve_fn(params, patches):
             pred = model.apply({"params": params}, patches.astype(jnp.float32))
             return jnp.round(jnp.clip(pred, 0.0, self.clip_max))
 
-        self._resolve = _resolve
+        if mesh is None:
+            self._resolve = jax.jit(_resolve_fn)
+        else:
+            from probav_tpu.parallel import (batch_sharding,
+                                             replicated_sharding)
+            self._resolve = jax.jit(
+                _resolve_fn,
+                in_shardings=(replicated_sharding(mesh),
+                              batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh))
 
         @jax.jit
         def _resolve_mean(params, patches_stack):

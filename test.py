@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--band", type=str, default="RED")
     p.add_argument("--totest", type=str, default="TEST")
     p.add_argument("--tta", action="store_true")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard each scene's patch grid over N chips")
     return p.parse_args()
 
 
@@ -64,7 +66,11 @@ def main():
     params = restore_params(cfg.ckpt_dir(opt.band))
 
     scene = cfg.patch_size * cfg.scale * int(np.sqrt(patches.shape[1]))
-    resolver = Resolver(model, params, scene_size=scene)
+    mesh = None
+    if opt.mesh_data:
+        from probav_tpu.parallel import make_mesh
+        mesh = make_mesh(num_data=opt.mesh_data, num_model=1)
+    resolver = Resolver(model, params, scene_size=scene, mesh=mesh)
     logger.info("[ INFO ] Generating predictions...")
     scenes = resolver.resolve_all(patches, tta=opt.tta)
 

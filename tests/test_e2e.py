@@ -243,3 +243,26 @@ class TestFullESAGeometry:
         img = read_png(written[0])
         assert img.shape == (384, 384) and img.dtype == np.uint16
         assert os.path.basename(written[0]) == "imgset1306.png"
+
+
+class TestMeshResolver:
+    def test_sharded_inference_matches_single_device(self, rng):
+        """Multi-chip serving: the 64-patch grid sharded over 4 chips must
+        produce the identical scene as single-device resolution."""
+        import jax
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver
+        from probav_tpu.parallel import make_mesh
+
+        model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                           exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                           patch_size_lr=16, mean=100.0, std=50.0)
+        patches = rng.uniform(50, 150, (64, 22, 22, 9, 1)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), patches[:1])["params"]
+
+        single = Resolver(model, params, scene_size=384)
+        mesh = make_mesh(num_data=4, num_model=1)
+        sharded = Resolver(model, params, scene_size=384, mesh=mesh)
+        a = single.resolve_scene(patches)
+        b = sharded.resolve_scene(patches)
+        np.testing.assert_array_equal(a, b)
