@@ -25,6 +25,14 @@ def parse_args():
                    help="'jax' batches the registration FFTs on the "
                         "accelerator (freq technique only)")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--outlier-threshold", default=None, type=float,
+                   help="legacy v1 filter (utils/utils.py:492-531): drop "
+                        "LR frames with any pixel above this (try "
+                        "32000-60000); train scenes left with <9 frames "
+                        "are removed")
+    p.add_argument("--outlier-min-frames", default=9, type=int,
+                   help="minimum LR frames a scene must keep after the "
+                        "outlier filter (reference uses 9)")
     return p.parse_args()
 
 
@@ -39,7 +47,9 @@ def main():
     logging.info("[ CFG - INFO ] Using %s as config file...", opt.cfg)
     pipeline.run(cfg, opt.band, ckpts=ckpts,
                  registration_tech=opt.tech,
-                 registration_backend=opt.reg_backend, seed=opt.seed)
+                 registration_backend=opt.reg_backend, seed=opt.seed,
+                 outlier_threshold=opt.outlier_threshold,
+                 outlier_min_frames=opt.outlier_min_frames)
 
 
 if __name__ == "__main__":

@@ -63,7 +63,8 @@ def main():
             # per-band TRAIN offset, skipping removed scene ids, so each
             # cPSNR divides the matching scene's norm.
             i = BAND_OFFSETS[("TRAIN", band)]
-            removed = set(load_removed_sets(band))
+            removed = set(load_removed_sets(
+                band, search_dirs=(cfg.preprocessing_out, ".")))
             for v in results[band]["candidate"]:
                 while i in removed:
                     i += 1

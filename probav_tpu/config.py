@@ -174,6 +174,18 @@ class Config:
     def log_dir(self, band: str) -> str:
         return os.path.join(self.flat["model_out"], f"logs_{self.basename}", band)
 
+    def removed_sets_path(self, band: str) -> str:
+        """Cfg-anchored removedTrainSets<BAND>.txt location.
+
+        The reference writes this file CWD-relative (dataGenerator.py:98),
+        which made every CLI's behavior depend on the invocation directory;
+        anchoring it under ``preprocessing_out`` removes the footgun while
+        ``load_removed_sets``'s CWD fallback keeps reference-produced trees
+        working.
+        """
+        return os.path.join(self.flat["preprocessing_out"],
+                            f"removedTrainSets{band.upper()}.txt")
+
     def out_dir(self, totest: str) -> str:
         key = "test_out" if totest.upper() == "TEST" else "train_out"
         return f"{self.flat[key]}_{self.basename}"

@@ -62,8 +62,17 @@ def _reflect_pad_hw(img_msk: np.ma.masked_array, pad: int) -> np.ma.masked_array
 
 def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         registration_tech: str = "freq", registration_backend: str = "numpy",
-        seed: int = 0, progress: bool = True) -> None:
-    """Run the requested pipeline stages for one band."""
+        seed: int = 0, progress: bool = True,
+        outlier_threshold: Optional[float] = None,
+        outlier_min_frames: int = 9) -> None:
+    """Run the requested pipeline stages for one band.
+
+    ``outlier_threshold`` enables the legacy v1 outlier-pixel filter
+    (utils/utils.py:492-531): LR frames with any pixel above it are
+    dropped before registration; train scenes left with <9 frames are
+    removed (and recorded in removedTrainSets for submission numbering);
+    test scenes are never removed — they must produce submissions.
+    """
     ckpts = list(ckpts if ckpts is not None else cfg.ckpt)
     # Independent per-stage streams so resuming a single stage (the ckpt
     # mechanism's whole point) draws the same randomness as a full run.
@@ -102,18 +111,43 @@ def run(cfg: Config, band: str, ckpts: Optional[Sequence[int]] = None,
         (img_lr, msk_lr, img_hr, msk_hr), (img_lr_t, msk_lr_t) = \
             ingest.load_data(array_dir, band)
 
+        kept = np.arange(len(img_lr))
+        outlier_removed = np.array([], dtype=np.int64)
+        if outlier_threshold is not None:
+            img_lr, msk_lr, kept, outlier_removed, ndrop = \
+                qc.remove_outlier_frames(img_lr, msk_lr, outlier_threshold,
+                                         min_frames=outlier_min_frames)
+            logger.info("[ INFO ] Outlier filter (> %s): dropped %d train "
+                        "LR frames, removed %d scenes", outlier_threshold,
+                        ndrop, len(outlier_removed))
+            img_lr_t, msk_lr_t, _, intact_t, ndrop_t = \
+                qc.remove_outlier_frames(img_lr_t, msk_lr_t,
+                                         outlier_threshold,
+                                         min_frames=outlier_min_frames,
+                                         drop_scenes=False)
+            logger.info("[ INFO ] Outlier filter: dropped %d test LR "
+                        "frames (%d scenes kept intact below 9 frames)",
+                        ndrop_t, len(intact_t))
+
         logger.info("Registering %s train frames...", band)
         all_lr = register_images(img_lr, msk_lr, tech=registration_tech,
                                  progress=progress,
                                  backend=registration_backend)
         all_hr = qc.convert_to_masked_array(img_hr, msk_hr)
+        # The HR dump keeps EVERY scene (id -> row alignment contract for
+        # evaluation); outlier-removed scenes are trimmed only afterwards.
         dump_masked(all_hr, os.path.join(resolver_dir,
                                          f"TRAINimgHR_{band}.npy"))
+        all_hr = all_hr[kept]
 
         trm_lr, trm_hr, removed = qc.remove_corrupted_train_sets(
             all_lr, all_hr, cfg.low_res_threshold)
+        # Map clarity-removal indices back through the outlier filter's
+        # kept subset, then merge both removal sources into one id list.
+        removed = np.sort(np.concatenate(
+            [outlier_removed, kept[np.asarray(removed, dtype=np.int64)]]))
         start = BAND_OFFSETS[("TRAIN", band)]
-        np.savetxt(f"removedTrainSets{band}.txt",
+        np.savetxt(cfg.removed_sets_path(band),
                    np.asarray(removed, dtype=np.float64) + start)
         if len(removed):
             print(f"[ WARNING ] Imgsets {removed} were removed")

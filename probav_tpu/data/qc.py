@@ -48,7 +48,7 @@ def scene_keep_mask(img_msk_lr, clarity_threshold: float) -> np.ndarray:
     return np.array([
         bool(is_frame_clear(np.ma.getmaskarray(scene), clarity_threshold).any())
         for scene in img_msk_lr
-    ])
+    ], dtype=bool)   # dtype pinned: an empty list would default to float
 
 
 def remove_corrupted_train_sets(img_msk_lr, img_msk_hr,
@@ -56,6 +56,50 @@ def remove_corrupted_train_sets(img_msk_lr, img_msk_hr,
     keep = scene_keep_mask(img_msk_lr, clarity_threshold)
     removed = np.arange(len(img_msk_lr))[~keep]
     return img_msk_lr[keep], img_msk_hr[keep], removed
+
+
+def remove_outlier_frames(img_lr, msk_lr, threshold: float,
+                          min_frames: int = 9, drop_scenes: bool = True):
+    """Legacy v1 outlier-pixel filter (reference utils/utils.py:492-531).
+
+    Drops LR frames containing any pixel above ``threshold`` (PROBA-V data
+    is 14-bit in 16-bit arrays; sensible thresholds are 32000-60000), then
+    drops scenes left with fewer than ``min_frames`` LR frames.  The
+    reference counts the HR image toward its train threshold of 10 — the
+    same effective LR minimum of 9 used here for both splits.
+
+    ``drop_scenes=False`` keeps an under-threshold scene's ORIGINAL frames
+    instead of removing it — used for the test split, where every scene
+    must still produce a submission image.
+
+    img_lr/msk_lr: stage-1 raw scene stacks — object arrays (ragged frame
+    counts) or regular [S, T, C, H, W] arrays.
+    Returns (img_lr', msk_lr', kept_idx, removed_idx, frames_dropped);
+    with ``drop_scenes=False`` kept_idx covers every scene and removed_idx
+    lists the ones left intact.
+    """
+    from probav_tpu.data.ingest import _object_array
+
+    out_img, out_msk, kept, removed = [], [], [], []
+    dropped = 0
+    for s in range(len(img_lr)):
+        frames = np.asarray(img_lr[s])
+        masks = np.asarray(msk_lr[s])
+        keep = ~(frames > threshold).any(axis=tuple(range(1, frames.ndim)))
+        if int(keep.sum()) < min_frames:
+            removed.append(s)
+            if not drop_scenes:
+                kept.append(s)
+                out_img.append(frames)
+                out_msk.append(masks)
+            continue
+        dropped += int((~keep).sum())
+        kept.append(s)
+        out_img.append(frames[keep])
+        out_msk.append(masks[keep])
+    return (_object_array(out_img), _object_array(out_msk),
+            np.asarray(kept, dtype=np.int64),
+            np.asarray(removed, dtype=np.int64), dropped)
 
 
 def remove_corrupted_test_sets(img_msk_lr, clarity_threshold: float):
@@ -73,6 +117,14 @@ def pick_clear_frames(scene: np.ma.masked_array, k: int,
     """One scene [T, C, H, W] -> exactly k clearest frames (+dup count)."""
     clear = is_frame_clear(np.ma.getmaskarray(scene), clarity_threshold)
     filtered = scene[clear]
+    if len(filtered) == 0:
+        # The pipeline guarantees at least one clear frame per surviving
+        # scene (remove_corrupted_train_sets runs first), but this is
+        # public API: an all-occluded scene must fail loudly, not spin
+        # forever resampling an empty pool.
+        raise ValueError(
+            f"no frame passes clarity threshold {clarity_threshold}; "
+            "run remove_corrupted_train_sets first or lower the threshold")
     order = np.argsort(np.ma.getmaskarray(filtered).sum(axis=(1, 2, 3)),
                        kind="stable")
     ranked = filtered[order]

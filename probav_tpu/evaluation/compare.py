@@ -105,8 +105,16 @@ def compare_runs(preprocessing_out: str, benchmark_dir: str,
         arr = load_npy(os.path.join(preprocessing_out, "resolverDir",
                                     f"TRAINimgHR_{band}.npy"))
         counts[band] = len(arr)
-    if tuple(bands) == ("RED", "NIR"):
-        counts["RED"] = min(counts["RED"], red_count)
+    if tuple(bands) == ("RED", "NIR") and red_count < counts["RED"]:
+        # hr is the concatenation of the FULL per-band files; when the
+        # caller caps RED below the file's scene count, drop the excess
+        # RED rows from hr too — otherwise the NIR base offset (id path)
+        # and the NIR slice (positional path) would index into RED rows.
+        full_red = counts["RED"]
+        keep = np.concatenate([np.arange(red_count),
+                               np.arange(full_red, len(hr))])
+        hr = hr[keep]
+        counts["RED"] = red_count
 
     hr_rows: list = []
     band_of: list = []

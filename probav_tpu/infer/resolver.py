@@ -29,13 +29,24 @@ from probav_tpu.ops.patches import reconstruct_from_patches
 from probav_tpu.utils.io import write_png
 
 
-def load_removed_sets(band: str, search_dir: str = ".") -> List[int]:
-    """Scene ids to skip when numbering outputs (test.py:71-77)."""
-    path = os.path.join(search_dir, f"removedTrainSets{band.upper()}.txt")
-    if not os.path.exists(path):
-        return []
-    with open(path) as f:
-        return [int(float(line.strip())) for line in f if line.strip()]
+def load_removed_sets(band: str, search_dirs=(".",)) -> List[int]:
+    """Scene ids to skip when numbering outputs (test.py:71-77).
+
+    Searches each directory in order for ``removedTrainSets<BAND>.txt`` and
+    returns the first hit.  The pipeline writes the file under
+    ``cfg.preprocessing_out`` (Config.removed_sets_path); keep ``"."`` in
+    the list for trees produced by the reference, which writes it
+    CWD-relative.
+    """
+    if isinstance(search_dirs, str):
+        search_dirs = (search_dirs,)
+    for d in search_dirs:
+        path = os.path.join(d, f"removedTrainSets{band.upper()}.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                return [int(float(line.strip()))
+                        for line in f if line.strip()]
+    return []
 
 
 class Resolver:

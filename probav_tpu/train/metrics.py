@@ -19,34 +19,40 @@ import numpy as np
 
 
 class Mean:
-    """Streaming mean over scalars.
+    """Weighted streaming mean over scalars.
 
     ``update`` only appends (device scalars are NOT touched — even one eager
     add per step costs a dispatch RPC on remote TPU backends); ``result``
     reduces everything in a single fused op + one device->host fetch.
+    ``weight`` lets a caller down-weight a partial batch's mean by its true
+    sample count (the trainer's padded-final-val-batch case).
     """
 
     def __init__(self, name: str = "mean"):
         self.name = name
-        self._values = []
-        self._carry = None   # (sum, count) folded from previous results
+        self._values = []     # (value, weight) pairs
+        self._carry = None    # (weighted sum, weight total, n) folded
 
-    def update(self, value) -> None:
-        self._values.append(value)
+    def update(self, value, weight: float = 1.0) -> None:
+        self._values.append((value, float(weight)))
 
     def result(self) -> float:
-        total, count = self._carry if self._carry else (0.0, 0)
+        total, count, n = self._carry if self._carry else (0.0, 0.0, 0)
         if self._values:
-            import jax.numpy as jnp
             batch = self._values
             self._values = []
-            if any(hasattr(v, "device") for v in batch):
+            vals = [v for v, _ in batch]
+            ws = np.asarray([w for _, w in batch], np.float32)
+            if any(hasattr(v, "device") for v in vals):
+                import jax.numpy as jnp
                 total = total + float(jnp.sum(jnp.stack(
-                    [jnp.asarray(v, jnp.float32) for v in batch])))
+                    [jnp.asarray(v, jnp.float32) for v in vals]) * ws))
             else:
-                total = total + float(np.sum([float(v) for v in batch]))
-            count += len(batch)
-            self._carry = (total, count)
+                total = total + float(np.sum(
+                    [float(v) * w for v, w in batch]))
+            count += float(np.sum(ws))
+            n += len(batch)
+            self._carry = (total, count, n)
         if count == 0:
             return float("nan")
         return total / count
@@ -57,7 +63,7 @@ class Mean:
 
     def __len__(self) -> int:
         n = len(self._values)
-        return n + (self._carry[1] if self._carry else 0)
+        return n + (self._carry[2] if self._carry else 0)
 
 
 class ScalarLogger:

@@ -154,9 +154,14 @@ class ModelTrainer:
                                    step=state.step + 1)
             return new_state, loss, metric
 
-        def eval_step(state: TrainState, lr, hr, mask):
+        def eval_step(state: TrainState, lr, hr, mask, w):
+            """w: [B] per-sample weights — 0 marks padded rows, so the
+            metric (which gates save-best checkpointing) is exact even when
+            a ragged final val batch is wrap-padded for mesh divisibility.
+            The loss stays the batch-lumped loss_fn (opaque scalar)."""
             pred = model.apply({"params": state.params}, lr)
-            return loss_fn(hr, mask, pred), jnp.mean(metric_fn(hr, mask, pred))
+            metric = jnp.sum(metric_fn(hr, mask, pred) * w) / jnp.sum(w)
+            return loss_fn(hr, mask, pred), metric
 
         if self.mesh is None:
             self._jit_train = jax.jit(train_step, donate_argnums=0)
@@ -172,7 +177,7 @@ class ModelTrainer:
                 out_shardings=(st_sh, r_sh, r_sh))
             self._jit_eval = jax.jit(
                 eval_step,
-                in_shardings=(st_sh, b_sh, b_sh, b_sh),
+                in_shardings=(st_sh, b_sh, b_sh, b_sh, b_sh),
                 out_shardings=(r_sh, r_sh))
 
     # ------------------------------------------------------------------ #
@@ -345,6 +350,13 @@ class ModelTrainer:
 
         global_step = int(self.state.step)
         done_epochs = global_step // steps_per_epoch
+        # Resume parity with an uninterrupted run: replay the permutation
+        # draws of completed epochs so the RNG stream continues where it
+        # left off, and skip the chunks already executed within a
+        # mid-epoch restore (checkpoints land on chunk boundaries).
+        for _ in range(done_epochs):
+            rng.permutation(n)
+        resume_step = global_step - done_epochs * steps_per_epoch
         last = {"val_psnr": float("nan"), "val_loss": float("nan")}
         t_start = time.time()
         seen = 0
@@ -352,6 +364,8 @@ class ModelTrainer:
             perm = rng.permutation(n)[:steps_per_epoch * batch_size]
             perm = perm.reshape(steps_per_epoch, batch_size).astype(np.int32)
             for start in range(0, steps_per_epoch, chunk):
+                if epoch == done_epochs and start < resume_step:
+                    continue
                 idx = jnp.asarray(perm[start:start + chunk])
                 self.state, mean_loss, mean_psnr = scan_steps(
                     self.state, idx, xd, hrd, maskd)
@@ -394,14 +408,29 @@ class ModelTrainer:
         # Bound the SOURCE so the producer thread terminates on its own (a
         # consumer-side break would strand it blocked on the queue).
         src = itertools.islice(val_batcher.epoch(), val_steps)
-        for lr_b, hr_b, mask_b in prefetch_to_device(src, sharding=sharding):
-            if len(lr_b) != full and self.mesh is not None:
-                # Under a mesh the batch axis must stay divisible by the
-                # 'data' axis: wrap-pad the ragged final batch (tiny,
-                # documented bias toward the repeated samples).
-                pad = lambda a: np.resize(np.asarray(a), (full,) + a.shape[1:])
-                lr_b, hr_b, mask_b = pad(lr_b), pad(hr_b), pad(mask_b)
-            loss, metric = self._jit_eval(self.state, lr_b, hr_b, mask_b)
-            test_loss.update(loss)
-            test_psnr.update(metric)
+        counts: list = []   # true sample counts, parallel to the stream
+
+        def padded(stream):
+            """Pad ragged batches BEFORE device_put — a non-divisible batch
+            cannot be placed with a 'data'-axis sharding.  Pad rows get
+            weight 0, so the metric (which gates save-best) is exact; the
+            lumped loss over the padded batch is merely down-weighted by
+            true_n (a residual bias on a logged-only value)."""
+            for lr_b, hr_b, mask_b in stream:
+                true_n = len(lr_b)
+                w = np.ones(true_n, np.float32)
+                if true_n != full and self.mesh is not None:
+                    pad = lambda a: np.resize(np.asarray(a),
+                                              (full,) + a.shape[1:])
+                    lr_b, hr_b, mask_b = pad(lr_b), pad(hr_b), pad(mask_b)
+                    w = np.resize(w, full)
+                    w[true_n:] = 0.0
+                counts.append(true_n)
+                yield lr_b, hr_b, mask_b, w
+
+        for i, (lr_b, hr_b, mask_b, w) in enumerate(
+                prefetch_to_device(padded(src), sharding=sharding)):
+            loss, metric = self._jit_eval(self.state, lr_b, hr_b, mask_b, w)
+            test_loss.update(loss, weight=counts[i])
+            test_psnr.update(metric, weight=counts[i])
         return test_loss.result(), test_psnr.result()

@@ -75,7 +75,8 @@ def main():
     scenes = resolver.resolve_all(patches, tta=opt.tta)
 
     out_dir = cfg.out_dir(opt.totest)
-    removed = load_removed_sets(opt.band)
+    removed = load_removed_sets(opt.band,
+                                search_dirs=(cfg.preprocessing_out, "."))
     written = write_submission(scenes, out_dir, opt.band, opt.totest, removed)
     logger.info("[ SAVE ] Wrote %d scenes to %s", len(written), out_dir)
 

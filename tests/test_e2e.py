@@ -29,10 +29,7 @@ def workspace(tmp_path_factory):
                          train_out=str(root / "trainout"),
                          test_out=str(root / "testout"))
     cfg = Config.from_file(cfg_path)
-    cwd = os.getcwd()
-    os.chdir(root)   # removedTrainSets<band>.txt is CWD-relative (parity)
     yield cfg, root
-    os.chdir(cwd)
 
 
 @pytest.fixture(scope="module")
@@ -98,8 +95,9 @@ class TestPipelineArtifacts:
         assert len(tr) == 2 * (len(base) - len(val))
 
     def test_removed_sets_file_written(self, pipeline_done):
+        # Cfg-anchored (under preprocessing_out), independent of CWD.
         cfg, root = pipeline_done
-        assert os.path.exists(str(root / "removedTrainSetsNIR.txt"))
+        assert os.path.exists(cfg.removed_sets_path("NIR"))
 
 
 class TestTrainInferEval:
@@ -219,12 +217,7 @@ class TestFullESAGeometry:
                          train_out=str(tmp_path / "to"),
                          test_out=str(tmp_path / "te"))
         cfg = Config.from_file(cfgp)
-        cwd = os.getcwd()
-        os.chdir(tmp_path)
-        try:
-            pipeline.run(cfg, "NIR", progress=False)
-        finally:
-            os.chdir(cwd)
+        pipeline.run(cfg, "NIR", progress=False)
 
         p = load_npy(str(tmp_path / "chkpt" / "resolverDir" /
                          "TESTpatchesLR_NIR.npy"))

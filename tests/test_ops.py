@@ -12,7 +12,7 @@ from probav_tpu.ops.registration import register_image_set_jax
 
 from oracles import (
     shift_losses_oracle, sobel_edges_oracle, unfold_patches_oracle,
-    fourier_register_oracle,
+    fourier_register_oracle, rev_msssim_oracle,
 )
 
 
@@ -175,6 +175,75 @@ class TestRegistration:
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
 
 
+class TestMaskedRegistration:
+    """tech='time' path: Padfield masked NCC + reflect-mode resample
+    (reference utils/dataGenerator.py:663-666)."""
+
+    def linear_shift_pair(self, rng, dy, dx, size=32, margin=8):
+        """Two windows of one big image, offset by (dy, dx): a TRUE linear
+        (non-circular) translation, the case masked NCC is built for."""
+        big = rng.uniform(0, 255, (size + 2 * margin, size + 2 * margin))
+        ref = big[margin:margin + size, margin:margin + size][None]
+        mov = big[margin + dy:margin + dy + size,
+                  margin + dx:margin + dx + size][None]
+        return ref, mov
+
+    def test_recovers_shift_under_heavy_occlusion(self, rng):
+        from probav_tpu.ops.registration import masked_phase_correlation_shift
+        for dy, dx in ((-4, 3), (5, 5), (0, -6)):
+            ref, mov = self.linear_shift_pair(rng, dy, dx)
+            ref_mask = np.ones(ref.shape, bool)
+            mov_mask = rng.uniform(size=mov.shape) > 0.3
+            corrupt = mov.copy()
+            # Occluded pixels carry garbage — masked NCC must ignore them.
+            corrupt[~mov_mask] = rng.uniform(0, 255, int((~mov_mask).sum()))
+            shift = masked_phase_correlation_shift(ref, corrupt,
+                                                   ref_mask, mov_mask)
+            np.testing.assert_array_equal(shift, [0, dy, dx])
+
+    def test_recovers_shift_with_15pct_valid_pixels(self):
+        # 85% occlusion + garbage fill + a reference mask with holes.
+        from probav_tpu.ops.registration import masked_phase_correlation_shift
+        rng = np.random.default_rng(7)
+        ref, mov = self.linear_shift_pair(rng, 5, -4)
+        ref_mask = rng.uniform(size=ref.shape) > 0.2
+        mov_mask = rng.uniform(size=mov.shape) > 0.85
+        corrupt = mov.copy()
+        corrupt[~mov_mask] = rng.uniform(0, 255, int((~mov_mask).sum()))
+        shift = masked_phase_correlation_shift(ref, corrupt,
+                                               ref_mask, mov_mask)
+        np.testing.assert_array_equal(shift, [0, 5, -4])
+
+    def test_register_frame_time_resamples_reflect(self, rng):
+        from scipy import ndimage
+        from probav_tpu.ops.registration import register_frame
+        dy, dx = 3, -2
+        ref, mov = self.linear_shift_pair(rng, dy, dx)
+        msk = rng.uniform(size=mov.shape) > 0.2
+        ref_msk = np.ones(ref.shape, bool)
+        reg_img, reg_msk = register_frame(mov, msk, ref, ref_msk,
+                                          tech="time")
+        # The resample is scipy reflect-mode at the recovered shift …
+        want_img = ndimage.shift(mov.astype(np.float64), (0, dy, dx),
+                                 mode="reflect")
+        want_msk = ndimage.shift(msk.astype(np.float64), (0, dy, dx),
+                                 mode="constant", cval=0.0) > 0.5
+        np.testing.assert_allclose(reg_img, want_img, atol=1e-9)
+        np.testing.assert_array_equal(reg_msk, want_msk)
+        # … and the registered interior actually matches the reference.
+        inner = (slice(None), slice(8, 24), slice(8, 24))
+        match = np.isclose(reg_img[inner], ref[inner], atol=1e-9)
+        assert match[reg_msk[inner]].all()
+
+    def test_register_image_set_time_smoke(self, rng):
+        from probav_tpu.ops.registration import register_image_set
+        imgs = rng.uniform(0, 255, size=(3, 1, 16, 16))
+        msks = (rng.uniform(size=(3, 1, 16, 16)) > 0.2).astype(np.uint16)
+        out = register_image_set(imgs, msks, tech="time")
+        assert out.shape == imgs.shape
+        assert np.isfinite(out.data).all()
+
+
 class TestRevSSIMFaithfulness:
     def test_fixed_points_of_reference_formula(self):
         # The reference "structure" term uses VARIANCES, not stds
@@ -191,3 +260,23 @@ class TestRevSSIMFaithfulness:
         pred = rng.uniform(0, 65535, (2, 48, 48, 1)).astype(np.float32)
         val = float(losses.rev_msssim(hr, mask, pred))
         assert abs(val - 1.29422) < 2e-3, val
+
+    def test_matches_numpy_oracle(self, rng):
+        # Full independent re-derivation (tests/oracles.py) of
+        # loss.py:99-110 + 189-217, random data, mask with holes.
+        losses = ShiftCompensatedLosses((48, 48, 1), use_pallas=False)
+        hr, mask, pred = make_batch(rng, b=2)
+        want = rev_msssim_oracle(hr, mask, pred)
+        got = float(jax.jit(losses.rev_msssim)(hr, mask, pred))
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    def test_oracle_match_with_scaled_prediction(self, rng):
+        # A second operating point (pred correlated with hr) so both the
+        # SSIM product and the weighted-L1 mix terms are exercised away
+        # from the garbage regime.
+        losses = ShiftCompensatedLosses((48, 48, 1), use_pallas=False)
+        hr, mask, _ = make_batch(rng, b=2)
+        pred = hr * 0.9 + rng.normal(0, 500, hr.shape).astype(np.float32)
+        want = rev_msssim_oracle(hr, mask, pred)
+        got = float(jax.jit(losses.rev_msssim)(hr, mask, pred))
+        np.testing.assert_allclose(got, want, rtol=2e-3)

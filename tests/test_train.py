@@ -62,6 +62,19 @@ class TestMean:
         m.reset()
         assert np.isnan(m.result())
 
+    def test_weighted(self):
+        # Per-batch means weighted by true batch size -> exact global mean.
+        m = Mean()
+        m.update(1.0, weight=8)    # batch of 8 ones
+        m.update(5.0, weight=2)    # ragged final batch of 2 fives
+        assert m.result() == pytest.approx((8 * 1.0 + 2 * 5.0) / 10)
+        assert len(m) == 2
+        # device scalars mix with weights too
+        m2 = Mean()
+        m2.update(jnp.asarray(2.0), weight=3)
+        m2.update(4.0, weight=1)
+        assert m2.result() == pytest.approx(2.5)
+
 
 class TestTrainerSingleDevice:
     def test_loss_decreases_and_resume(self, tmp_path, rng):
@@ -134,6 +147,26 @@ class TestTrainerMesh:
         _, l2_, _ = t2._jit_train(t2.state, x, hr, mask)
         np.testing.assert_allclose(float(l1_), float(l2_), rtol=1e-5)
 
+    def test_padded_val_metric_is_exact(self, tmp_path, rng):
+        # A ragged final val batch is wrap-padded for mesh divisibility;
+        # the padded rows must NOT bias the metric that gates save-best.
+        x, hr, mask = tiny_data(rng, n=10)   # batch 8 -> batches of 8 and 2
+        _, t1 = tiny_setup(tmp_path / "a")
+        t1.init_state(x[:1], rng_seed=3)
+        t1._build_steps()
+        b1 = Batcher((x, hr, mask), 8, seed=0, drop_remainder=False)
+        _, ref_psnr = t1.evaluate(b1, val_steps=4)
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        _, t2 = tiny_setup(tmp_path / "b", mesh=mesh)
+        t2.init_state(x[:1], rng_seed=3)
+        t2._build_steps()
+        b2 = Batcher((x, hr, mask), 8, seed=0, drop_remainder=False)
+        from probav_tpu.parallel.mesh import batch_sharding
+        _, mesh_psnr = t2.evaluate(b2, val_steps=4,
+                                   sharding=batch_sharding(mesh))
+        np.testing.assert_allclose(mesh_psnr, ref_psnr, rtol=1e-5)
+
     def test_param_shardings_rules(self, rng):
         mesh = make_mesh(num_data=4, num_model=2)
         model = WDSRConv3D(num_filters=4, num_res_blocks=1, exp_rate=2,
@@ -198,6 +231,37 @@ class TestDeviceResidentFit:
         p1 = jax.tree.leaves(s1.params)
         p2 = jax.tree.leaves(t2.state.params)
         for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+
+
+class TestFitDeviceResume:
+    def test_resume_matches_uninterrupted_run(self, tmp_path):
+        # Interrupt after 2 of 4 epochs, restore into a fresh trainer, and
+        # finish: final params must match the uninterrupted run — i.e. the
+        # permutation RNG stream continues where it left off instead of
+        # replaying epoch 0 (and completed chunks are not re-run).
+        x, hr, mask = tiny_data(np.random.default_rng(23), n=16)
+        _, ta = tiny_setup(tmp_path / "a")
+        ta.init_state(x[:1], rng_seed=9)
+        ta.fit_device(x, [hr, mask], batch_size=8, epochs=4,
+                      val_data=[x, hr, mask], val_steps=1,
+                      save_best_only=False, seed=77)
+
+        _, tb = tiny_setup(tmp_path / "b")
+        tb.init_state(x[:1], rng_seed=9)
+        tb.fit_device(x, [hr, mask], batch_size=8, epochs=2,
+                      val_data=[x, hr, mask], val_steps=1,
+                      save_best_only=False, seed=77)
+        assert int(tb.state.step) == 4
+        _, tb2 = tiny_setup(tmp_path / "b")   # same ckpt_dir -> auto-resume
+        tb2.init_state(x[:1], rng_seed=9)
+        assert int(tb2.state.step) == 4
+        tb2.fit_device(x, [hr, mask], batch_size=8, epochs=4,
+                       val_data=[x, hr, mask], val_steps=1,
+                       save_best_only=False, seed=77)
+        for a, b in zip(jax.tree.leaves(ta.state.params),
+                        jax.tree.leaves(tb2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-6)
 
