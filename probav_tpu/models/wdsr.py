@@ -73,7 +73,8 @@ class WDSRBlock(nn.Module):
     kernel (ops/pallas_wide_block.py), which streams row tiles through VMEM
     instead of materializing the [*, filters*exp_rate] activation in HBM —
     the model's dominant memory traffic.  The parameter tree is identical
-    in both modes.
+    in both modes.  ``effective_params`` exposes the weight-normalized
+    kernels for the stack-level fused path (ops/pallas_block_stack.py).
     """
 
     num_filters: int
@@ -83,20 +84,39 @@ class WDSRBlock(nn.Module):
     dtype: Dtype = jnp.float32
     fused: bool = False
 
-    @nn.compact
+    def setup(self):
+        f = self.num_filters
+        self.expand = WNConv(f * self.exp_rate, (1, 1, 1), "SAME", "relu",
+                             dtype=self.dtype)
+        self.decay = WNConv(int(f * self.decay_rate), (1, 1, 1), "SAME",
+                            None, dtype=self.dtype)
+        self.conv = WNConv(f, self.kernel_size, "SAME", None,
+                           dtype=self.dtype)
+
+    def effective_params(self, c_in: int):
+        """(w1, b1, w2, b2, wc, bc) with weight norm applied; the 1x1x1
+        kernels are flattened to matmul weights.  Declares the same params
+        as ``__call__`` (linen scopes submodule methods together)."""
+        f = self.num_filters
+        c_mid = f * self.exp_rate
+        c_dec = int(f * self.decay_rate)
+        k1, b1 = self.expand.effective_kernel(c_in)
+        k2, b2 = self.decay.effective_kernel(c_mid)
+        kc, bc = self.conv.effective_kernel(c_dec)
+        d = self.dtype
+        return (k1.reshape(c_in, c_mid).astype(d), b1.astype(d),
+                k2.reshape(c_mid, c_dec).astype(d), b2.astype(d),
+                kc.astype(d), bc.astype(d))
+
     def __call__(self, x_in: jnp.ndarray) -> jnp.ndarray:
         f = self.num_filters
         c_mid = f * self.exp_rate
         c_dec = int(f * self.decay_rate)
-        expand = WNConv(c_mid, (1, 1, 1), "SAME", "relu",
-                        dtype=self.dtype, name="expand")
-        decay = WNConv(c_dec, (1, 1, 1), "SAME", None,
-                       dtype=self.dtype, name="decay")
         if self.fused:
             from probav_tpu.ops.pallas_wide_block import fused_expand_decay
             c_in = x_in.shape[-1]
-            k1, b1 = expand.effective_kernel(c_in)
-            k2, b2 = decay.effective_kernel(c_mid)
+            k1, b1 = self.expand.effective_kernel(c_in)
+            k2, b2 = self.decay.effective_kernel(c_mid)
             flat = x_in.reshape(-1, c_in).astype(self.dtype)
             y = fused_expand_decay(
                 flat,
@@ -106,9 +126,8 @@ class WDSRBlock(nn.Module):
                 b2.astype(self.dtype))
             x = y.reshape(x_in.shape[:-1] + (c_dec,))
         else:
-            x = decay(expand(x_in))
-        x = WNConv(f, self.kernel_size, "SAME", None, dtype=self.dtype,
-                   name="conv")(x)
+            x = self.decay(self.expand(x_in))
+        x = self.conv(x)
         return x + x_in
 
 
@@ -133,6 +152,7 @@ class WDSRConv3D(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     fused_block: bool = False
+    fused_stack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -155,11 +175,23 @@ class WDSRConv3D(nn.Module):
     def _main_path(self, x: jnp.ndarray) -> jnp.ndarray:
         f, k = self.num_filters, self.kernel_size
         x = WNConv(f, k, "SAME", "relu", dtype=self.dtype, name="mainConv1")(x)
-        block_cls = nn.remat(WDSRBlock) if self.remat else WDSRBlock
-        for i in range(self.num_res_blocks):
-            x = block_cls(f, self.exp_rate, self.decay_rate, k,
-                          dtype=self.dtype, fused=self.fused_block,
-                          name=f"resBlock_{i}")(x)
+        if self.fused_stack:
+            # ONE custom_vjp around the whole stack (see
+            # ops/pallas_block_stack.py); identical param tree.  remat is
+            # moot here — the stack saves only narrow residuals by design.
+            from probav_tpu.ops.pallas_block_stack import fused_block_stack
+            blocks = tuple(
+                WDSRBlock(f, self.exp_rate, self.decay_rate, k,
+                          dtype=self.dtype,
+                          name=f"resBlock_{i}").effective_params(f)
+                for i in range(self.num_res_blocks))
+            x = fused_block_stack(x, blocks)
+        else:
+            block_cls = nn.remat(WDSRBlock) if self.remat else WDSRBlock
+            for i in range(self.num_res_blocks):
+                x = block_cls(f, self.exp_rate, self.decay_rate, k,
+                              dtype=self.dtype, fused=self.fused_block,
+                              name=f"resBlock_{i}")(x)
         for s, step in enumerate(reduction_schedule(self.num_img_lr, k[2])):
             ph, pw, pt = step["pad"]
             if ph or pw or pt:
@@ -302,7 +334,8 @@ class FuseNetConv2D(nn.Module):
 
 def build_model(cfg, band: str, model_type: str = "wdsr",
                 dtype: Dtype = jnp.float32, remat: bool = False,
-                fused_block: bool = False) -> nn.Module:
+                fused_block: bool = False,
+                fused_stack: bool = False) -> nn.Module:
     """Construct the model described by a Config for one band.
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size
@@ -312,7 +345,8 @@ def build_model(cfg, band: str, model_type: str = "wdsr",
         return FuseNetConv2D(dtype=dtype)
     mean, std = cfg.band_stats(band)
     cls = {"wdsr": WDSRConv3D, "iwdsr": IWDSRConv3D}[model_type]
-    extra = ({"remat": remat, "fused_block": fused_block}
+    extra = ({"remat": remat, "fused_block": fused_block,
+              "fused_stack": fused_stack}
              if model_type == "wdsr" else {})
     return cls(
         **extra,
