@@ -298,8 +298,14 @@ class ModelTrainer:
         """TPU-native training loop: the dataset lives in HBM and the inner
         loop is a ``lax.scan`` over steps with on-device index gathers —
         the host only draws epoch permutations and reads back one scalar
-        pair per eval window.  Single-device (or replicated) execution;
-        use ``fit`` for host-streamed multi-chip data parallelism.
+        pair per eval window.
+
+        Under a mesh the resident dataset is sharded over the 'data' axis
+        (each chip holds n/num_data rows) and the scan runs under the
+        state's mesh shardings: the SPMD partitioner lowers each step's
+        gather to per-shard index selects combined over ICI, and the
+        gradient all-reduce is inserted as in the streamed ``fit`` path
+        (reference capability: debug/trainClassMultiGPU0.py:80-85).
         """
         hr, mask = y
         if self.state is None:
@@ -309,9 +315,19 @@ class ModelTrainer:
         model, loss_fn, metric_fn, tx = (self.model, self.loss_fn,
                                          self.metric_fn, self.tx)
 
-        xd = jax.device_put(np.asarray(x, np.float32))
-        hrd = jax.device_put(np.asarray(hr, np.float32))
-        maskd = jax.device_put(np.asarray(mask, np.float32))
+        if self.mesh is not None:
+            data_sh = batch_sharding(self.mesh)
+            ndev = self.mesh.shape["data"]
+
+            def put(a):
+                a = np.asarray(a, np.float32)
+                pad = (-len(a)) % ndev   # shard divisibility; pads are
+                if pad:                  # never indexed (perm < n)
+                    a = np.concatenate([a, a[:pad]])
+                return jax.device_put(a, data_sh)
+        else:
+            put = lambda a: jax.device_put(np.asarray(a, np.float32))
+        xd, hrd, maskd = put(x), put(hr), put(mask)
 
         @partial(jax.jit, donate_argnums=0)
         def scan_steps(state: TrainState, idx: jnp.ndarray, xd, hrd, maskd):

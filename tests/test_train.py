@@ -235,6 +235,42 @@ class TestDeviceResidentFit:
                                        rtol=2e-5, atol=1e-6)
 
 
+class TestFitDeviceMesh:
+    def test_fit_device_on_mesh_matches_single_device(self, tmp_path):
+        # Device-resident training under a data-parallel mesh: the sharded
+        # dataset + scan must produce the same params as one device.
+        x, hr, mask = tiny_data(np.random.default_rng(31), n=12)  # 12 rows
+        _, t1 = tiny_setup(tmp_path / "a")
+        t1.init_state(x[:1], rng_seed=5)
+        t1.fit_device(x, [hr, mask], batch_size=8, epochs=2,
+                      val_data=[x, hr, mask], val_steps=1,
+                      save_best_only=False, seed=3)
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        _, t2 = tiny_setup(tmp_path / "b", mesh=mesh)
+        t2.init_state(x[:1], rng_seed=5)
+        # n=12 is not divisible by 8 -> exercises the shard padding
+        res = t2.fit_device(x, [hr, mask], batch_size=8, epochs=2,
+                            val_data=[x, hr, mask], val_steps=1,
+                            save_best_only=False, seed=3)
+        assert np.isfinite(res["val_loss"])
+        for a, b in zip(jax.tree.leaves(t1.state.params),
+                        jax.tree.leaves(t2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_fit_device_tensor_parallel_mesh_runs(self, tmp_path):
+        x, hr, mask = tiny_data(np.random.default_rng(37), n=8)
+        mesh = make_mesh(num_data=4, num_model=2)
+        _, t = tiny_setup(tmp_path, mesh=mesh)
+        t.init_state(x[:1])
+        res = t.fit_device(x, [hr, mask], batch_size=8, epochs=1,
+                           val_data=[x, hr, mask], val_steps=1,
+                           save_best_only=False)
+        assert res["steps"] == 1
+        assert np.isfinite(res["val_psnr"])
+
+
 class TestFitDeviceResume:
     def test_resume_matches_uninterrupted_run(self, tmp_path):
         # Interrupt after 2 of 4 epochs, restore into a fresh trainer, and
