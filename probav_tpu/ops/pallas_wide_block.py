@@ -23,16 +23,20 @@ Numerics: gradients match XLA/numpy exactly except at relu boundary rows
 --xla_allow_excess_precision, so every implementation's mask flips there;
 subgradient choice at the kink is arbitrary for training).
 
-STATUS — measured on v5e, flagship model, batch 128:
-- kernel level: this backward BEATS XLA autodiff (4.5 ms vs 5.75 ms for one
-  block chain at N=557K);
-- model level: wrapping each block in custom_vjp is a net LOSS (full step
-  182 ms / 104 GB vs 83 ms / 62.5 GB plain), and a differential test with a
-  pure-XLA backward inside the same custom_vjp shows the SAME regression
-  (166 ms / 102 GB) — the opaque custom_vjp boundary per block defeats
-  XLA's cross-block fusion/layout planning, which outweighs the kernel win.
-Hence OPT-IN (WDSRBlock(fused=True)); the round-2 path is fusing the whole
-12-block backward into one kernel so there is a single boundary.
+STATUS — measured on v5e, flagship model, batch 128 (round 2,
+tools/profile_stack.py + tools/trace_step.py):
+- kernel level: this backward BEATS XLA autodiff 2x (25.6 vs 49.9 ms for
+  all 12 block segments at N=557K);
+- in an isolated stack-grad harness the single-boundary custom_vjp
+  (ops/pallas_block_stack.py) also WINS slightly (177 vs 198 ms);
+- in the FULL train step it still loses (150 vs 83 ms with the
+  divisor-tile fix; 182 before).  The op trace shows the gap is pure data
+  movement around the kernel calls — reshape 64 + copy 40 + pad 21 +
+  slice 10 ms/step — i.e. layout transitions between the model's
+  conv-native [B,H,W,T,C] activations and the kernel's flat [N,C]
+  operands, not the boundary count and not the kernel itself.
+Hence OPT-IN (fused=True / fused_stack=True) until the kernel speaks the
+conv-native layout (or the conv joins the kernel).
 
 Weight-norm reparameterization stays OUTSIDE the kernel (effective weights
 are computed in traced JAX code, so v/g gradients chain automatically).
@@ -49,6 +53,23 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_ROWS = 2048   # larger tiles exceed the 16 MB VMEM scoped limit
 
 INTERPRET = False  # route pallas_call through the interpreter (CPU tests)
+
+
+def _pick_tile(n: int, target: int = TILE_ROWS, max_tile: int = 2560) -> int:
+    """Largest sublane-aligned divisor of n up to ``max_tile``.
+
+    A tile that divides n exactly avoids the pad/concatenate + slice pair
+    around every kernel call — measured at ~30 ms/step of pure data
+    movement across the 12-block backward at flagship scale.  Falls back
+    to ``target`` (with padding) when n has no usable divisor.  max_tile
+    keeps the [tile, C_mid] f32 intermediates (3 live) within the ~16 MB
+    VMEM budget; the flagship N=557,568 picks 2112 (grid 264).
+    """
+    best = 0
+    for t in range(8, max_tile + 1, 8):
+        if n % t == 0:
+            best = t
+    return best if best >= 512 else target
 
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
@@ -84,18 +105,19 @@ def _pad_rows(x, tile):
 
 
 def _bwd(x, w1, b1, w2, dy, interpret=False):
-    xp, n = _pad_rows(x, TILE_ROWS)
-    dyp, _ = _pad_rows(dy, TILE_ROWS)
+    tile = _pick_tile(x.shape[0])
+    xp, n = _pad_rows(x, tile)
+    dyp, _ = _pad_rows(dy, tile)
     np_, cin = xp.shape
     cmid = w1.shape[1]
     cout = w2.shape[1]
-    grid = np_ // TILE_ROWS
+    grid = np_ // tile
     b1r = b1.reshape(1, cmid)
     dx, dw1p, db1p, dw2p, db2p = pl.pallas_call(
         _bwd_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, cin), lambda i: (i, 0),
+            pl.BlockSpec((tile, cin), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cin, cmid), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -103,11 +125,11 @@ def _bwd(x, w1, b1, w2, dy, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cmid, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, cout), lambda i: (i, 0),
+            pl.BlockSpec((tile, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_ROWS, cin), lambda i: (i, 0),
+            pl.BlockSpec((tile, cin), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cin, cmid), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -127,7 +149,8 @@ def _bwd(x, w1, b1, w2, dy, interpret=False):
         ),
         interpret=interpret,
     )(xp, w1, b1r, w2, dyp)
-    return (dx[:n], dw1p.sum(axis=0), db1p.sum(axis=0)[0],
+    dx = dx if np_ == n else dx[:n]
+    return (dx, dw1p.sum(axis=0), db1p.sum(axis=0)[0],
             dw2p.sum(axis=0), db2p.sum(axis=0)[0])
 
 
