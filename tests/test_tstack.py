@@ -1,0 +1,98 @@
+"""Parity tests for the transposed fused WDSR-B stack (ops/pallas_tstack).
+
+Runs the Pallas kernels through the interpreter on a small geometry and
+checks forward and full gradients (input + all six per-block params)
+against a plain-XLA reference built from the same effective parameters —
+the same contract as the reference's block loop (modelsTF.py:177-189).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+import probav_tpu.ops.pallas_tstack as ts
+
+B, H, W, T, C = 4, 5, 6, 3, 8
+CMID, CDEC, NBLK = 16, 7, 3
+DIMS3 = ("NHWDC", "HWDIO", "NHWDC")
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    old = ts.INTERPRET
+    ts.INTERPRET = True
+    yield
+    ts.INTERPRET = old
+
+
+@pytest.fixture(scope="module")
+def blocks():
+    r = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(r.normal(0, 0.3, s), jnp.float32)
+    return tuple(
+        (mk(C, CMID), mk(CMID), mk(CMID, CDEC), mk(CDEC),
+         mk(3, 3, 3, CDEC, C), mk(C))
+        for _ in range(NBLK))
+
+
+@pytest.fixture(scope="module")
+def x5():
+    r = np.random.default_rng(4)
+    return jnp.asarray(r.normal(0, 1, (B, H, W, T, C)), jnp.float32)
+
+
+def ref_stack(x, blocks):
+    h = x
+    for (w1, b1, w2, b2, wc, bc) in blocks:
+        flat = h.reshape(-1, C)
+        d = (jnp.maximum(flat @ w1 + b1, 0.0) @ w2 + b2)
+        d = d.reshape(h.shape[:-1] + (CDEC,))
+        h = h + lax.conv_general_dilated(
+            d, wc, (1, 1, 1), "SAME", dimension_numbers=DIMS3) + bc
+    return h
+
+
+def t_stack(x, blocks):
+    return ts.stack_apply_5d(x, blocks, target_rows=18, target_ch=6)
+
+
+def test_forward_parity(x5, blocks):
+    out = t_stack(x5, blocks)
+    ref = ref_stack(x5, blocks)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(out - ref).max()) < 2e-5 * scale
+
+
+def test_gradient_parity(x5, blocks):
+    def loss_t(x, b):
+        return jnp.sum(jnp.sin(t_stack(x, b)))
+
+    def loss_r(x, b):
+        return jnp.sum(jnp.sin(ref_stack(x, b)))
+
+    gt = jax.grad(loss_t, argnums=(0, 1))(x5, blocks)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x5, blocks)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() /
+                           (jnp.abs(b).max() + 1e-8)), gt, gr)
+    worst = max(jax.tree_util.tree_leaves(rel))
+    assert worst < 1e-4, rel
+
+
+def test_adapters_roundtrip(x5):
+    x2 = ts.to_t(x5)
+    g = ts.make_geom(H, W, T, B)
+    assert x2.shape == (C, g.S * g.B)
+    # pad lanes are zero
+    im = ts.interior_mask(g, jnp.float32)
+    assert float(jnp.abs(x2 * (1 - im)).max()) == 0.0
+    back = ts.from_t(x2, B, H, W, T)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x5))
+
+
+def test_geom_divisors():
+    g = ts.make_geom(22, 22, 9, 128)
+    assert g.S % g.rows == 0 and g.rows % g.ch_rows == 0
+    assert g.S == 22 * 24 * 11
