@@ -152,7 +152,7 @@ class WDSRConv3D(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     fused_block: bool = False
-    fused_stack: bool = False
+    fused_stack: Any = False   # False | True (flat v1) | "t" (transposed)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -175,7 +175,25 @@ class WDSRConv3D(nn.Module):
     def _main_path(self, x: jnp.ndarray) -> jnp.ndarray:
         f, k = self.num_filters, self.kernel_size
         x = WNConv(f, k, "SAME", "relu", dtype=self.dtype, name="mainConv1")(x)
-        if self.fused_stack:
+        from probav_tpu.ops import pallas_tstack
+        # The transposed stack needs the batch to fill whole 128-lane
+        # groups (tap shifts are multiples of B); odd batches — notably
+        # model.init's sample of 1 — take the plain loop, which declares
+        # the identical parameter tree.
+        use_t = (self.fused_stack == "t" and
+                 (x.shape[0] % 128 == 0 or pallas_tstack.INTERPRET))
+        if use_t:
+            # Transposed fully-fused stack (ops/pallas_tstack.py): one
+            # custom_vjp, activations in XLA's batch-minor orientation,
+            # conv taps as lane shifts; identical param tree.
+            from probav_tpu.ops.pallas_tstack import stack_apply_5d
+            blocks = tuple(
+                WDSRBlock(f, self.exp_rate, self.decay_rate, k,
+                          dtype=self.dtype,
+                          name=f"resBlock_{i}").effective_params(f)
+                for i in range(self.num_res_blocks))
+            x = stack_apply_5d(x, blocks)
+        elif self.fused_stack and self.fused_stack != "t":
             # ONE custom_vjp around the whole stack (see
             # ops/pallas_block_stack.py); identical param tree.  remat is
             # moot here — the stack saves only narrow residuals by design.

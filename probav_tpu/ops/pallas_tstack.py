@@ -12,29 +12,33 @@ filling the 128 lanes) while a flat [N, C] Pallas operand demands a
 row-major C-minor relayout (and pads 32 channels to 128 lanes — 4x).
 
 This module therefore speaks XLA's own orientation.  Every activation is a
-2D ``[C, S*B]`` array — channels in sublanes, (spatial-position, batch) in
-lanes, batch minor — which matches XLA's preferred layout of the 5D conv
-activation byte-for-byte, so entering/leaving the fused domain is nearly
-free.  Design points (each measured against a v1 that did it differently):
+2D ``[C, ext]`` array — channels in sublanes, (spatial-position, batch) in
+lanes, batch minor — matching XLA's preferred layout of the 5D conv
+activation, so entering/leaving the fused domain is nearly free.  Design
+points (each measured against a version that did it differently):
 
 - every matmul is a plain 2D MXU dot: channels contract or ride sublanes,
   the (spatial, batch) product rides the 128 lanes;
 - the spatial domain is padded in W and T (``[H, W+2, T+2]``): the 3^3
   SAME conv's 27 taps become pure lane shifts ``(dh*W2*T2 + dw*T2 + dt)*B``
   with NO per-tap edge masks — W/T wrap-arounds land in the zero pad
-  lanes, H wrap-arounds land in the zero halo of the conv operand (H is
-  the outermost spatial dim).  One static interior mask re-zeros the pad
-  lanes per kernel.  (v1 computed 27 iota-derived masks per chunk — the
-  mask multiplies alone cost ~1 ms/block.);
-- the 27 taps are CONCATENATED into one K=27*32 dot per chunk instead of
-  27 K=25 dots (which ran at ~5% MXU utilization);
+  lanes, H wrap-arounds land in the zero halo margins (H is the outermost
+  spatial dim).  One static interior mask re-zeros the pad lanes per
+  kernel.  (A version computing 27 iota-derived masks per chunk spent
+  ~1 ms/block on the mask multiplies alone.);
+- activations carry PERSISTENT zero halo margins (``mtiles`` whole tiles
+  on each side) so conv windows never need a per-block jnp.pad — the
+  margins are zeroed once at stack entry and every kernel's interior-mask
+  multiply keeps them zero (a jnp.pad per conv call cost 3.5 ms/step);
+- the 27 taps are CONCATENATED into single K=27*32 dots per chunk instead
+  of 27 K=25 dots (which ran at ~5% MXU utilization);
 - dots are oriented so small channel dims (25/32) sit in SUBLANES of the
   output (pad to 8) rather than lanes (pad to 128);
+- the whole backward of a block is ONE kernel: conv-transpose taps, the
+  expand/relu recompute, dz, dx and ALL weight/bias gradient partials —
+  the decay activation's cotangent never touches HBM;
 - the [*, 256] expand activation exists ONLY as per-chunk VMEM values, in
   both forward and backward (backward recomputes it, saving nothing wide).
-
-Per-block HBM traffic drops from ~2 GB to ~0.4 GB (x, d, g, dx, dd plus
-halo overlap — no wide tensors, no relayouts, no bit-packed masks).
 
 Reference semantics covered: the WDSR-B residual block
 (/root/reference/models/modelsTF.py:177-189) — expand 1x1x1 conv x8 +
@@ -48,6 +52,7 @@ Set ``INTERPRET = True`` to run through the Pallas interpreter (CPU tests).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -81,7 +86,7 @@ class Geom(NamedTuple):
 
     @property
     def S(self):
-        """Padded-domain spatial positions."""
+        """Padded-domain spatial positions (margins excluded)."""
         return self.H * self.W2 * self.T2
 
     @property
@@ -94,11 +99,26 @@ class Geom(NamedTuple):
 
     @property
     def halo(self):
+        """Lanes a conv window reaches beyond its tile."""
         return (self.W2 * self.T2 + self.T2 + 1) * self.B
 
     @property
+    def mtiles(self):
+        """Whole margin tiles per side covering the halo."""
+        return -(-self.halo // self.L)
+
+    @property
+    def margin(self):
+        return self.mtiles * self.L
+
+    @property
+    def ext(self):
+        """Extended lane count: margin | S*B | margin."""
+        return self.S * self.B + 2 * self.margin
+
+    @property
     def grid(self):
-        return self.S // self.rows
+        return self.ext // self.L
 
 
 def _divisor_near(n: int, target: int) -> int:
@@ -110,7 +130,7 @@ def _divisor_near(n: int, target: int) -> int:
 
 
 def make_geom(H: int, W: int, T: int, B: int,
-              target_rows: int = 484, target_ch: int = 48,
+              target_rows: int = 363, target_ch: int = 33,
               itemsize: int = 2) -> Geom:
     """itemsize scales the tile down so f32 windows fit in VMEM."""
     scale = max(1, itemsize // 2)
@@ -129,17 +149,32 @@ def _tap_off(g: Geom, dh: int, dw: int, dt: int) -> int:
 
 
 def interior_mask(g: Geom, dtype) -> jnp.ndarray:
-    """[1, S*B] — 1 on true (h, w, t) positions, 0 on W/T pad lanes."""
+    """[1, ext] — 1 on true (h, w, t) positions, 0 on pads and margins."""
     import numpy as np
     m = np.zeros((g.H, g.W2, g.T2), np.float32)
     m[:, 1:-1, 1:-1] = 1.0
     m = np.repeat(m.reshape(-1), g.B)
+    m = np.pad(m, (g.margin, g.margin))
     return jnp.asarray(m.reshape(1, -1), dtype)
 
 
 def _dot(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=_F32)
+
+
+def _win_index_map(g: Geom, win: int):
+    """Clamped window start for tile i (margin tiles would reach outside
+    the array; their outputs are zeroed by the interior mask anyway).
+    The clamp runs in units of the common lane granularity so Mosaic can
+    prove the 128-lane tiling divides the offset."""
+    gran = math.gcd(math.gcd(g.L, g.halo), g.ext - win)
+
+    def index_map(i):
+        return (0, jnp.clip(i * (g.L // gran) - g.halo // gran,
+                            0, (g.ext - win) // gran) * gran)
+
+    return index_map
 
 
 # ---------------------------------------------------------------------- #
@@ -160,8 +195,18 @@ def _pack_wc_bwd(wc, c_dec, c_out, dtype):
     return jnp.transpose(w, (1, 0, 2)).reshape(c_dec, 27 * _SUB)
 
 
+def _zero_pad_rows(cat_ref, c_used):
+    """Zero the unwritten sublane rows of a tap-concat scratch once —
+    their weights are zero, but uninitialized VMEM may hold NaNs and
+    0*NaN would poison the dot."""
+    if c_used < _SUB:
+        for k in range(27):
+            cat_ref[k * _SUB + c_used:(k + 1) * _SUB, :] = jnp.zeros(
+                (_SUB - c_used, cat_ref.shape[1]), cat_ref.dtype)
+
+
 # ---------------------------------------------------------------------- #
-# K1: segment forward  x [C_in, L] -> d [C_dec, L]                        #
+# K1: segment forward  x [C_in, ext] -> d [C_dec, ext]                    #
 # ---------------------------------------------------------------------- #
 
 def _seg_fwd_kernel(g: Geom, x_ref, im_ref, w1t_ref, b1_ref, w2t_ref,
@@ -196,7 +241,7 @@ def seg_fwd(g: Geom, x, imask, w1, b1, w2, b2):
             pl.BlockSpec((c_dec, 1), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((c_dec, g.L), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((c_dec, g.S * g.B), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((c_dec, g.ext), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
@@ -205,20 +250,14 @@ def seg_fwd(g: Geom, x, imask, w1, b1, w2, b2):
 
 
 # ---------------------------------------------------------------------- #
-# K2: conv forward  d [C_dec, L(+halo)], x [C_out, L] -> out [C_out, L]   #
+# K2: conv forward  d, x [*, ext] -> out [C_out, ext]                     #
 # ---------------------------------------------------------------------- #
 
 def _conv_fwd_kernel(g: Geom, dwin_ref, x_ref, im_ref, wcat_ref, bc_ref,
                      o_ref, dcat_ref):
     c_dec = dwin_ref.shape[0]
     bc = bc_ref[...]
-    # Tap pieces occupy rows [32k, 32k+c_dec); rows [32k+c_dec, 32k+32)
-    # are never written — zero them once (their weights are zero too, but
-    # uninitialized VMEM may hold NaNs and 0*NaN poisons the dot).
-    if c_dec < _SUB:
-        for k in range(27):
-            dcat_ref[k * _SUB + c_dec:(k + 1) * _SUB, :] = jnp.zeros(
-                (_SUB - c_dec, dcat_ref.shape[1]), dcat_ref.dtype)
+    _zero_pad_rows(dcat_ref, c_dec)
     for k in range(g.L // g.CH):
         c0 = k * g.CH
         for ti, (dh, dw, dt) in enumerate(TAPS):
@@ -232,156 +271,125 @@ def _conv_fwd_kernel(g: Geom, dwin_ref, x_ref, im_ref, wcat_ref, bc_ref,
 
 
 def conv_fwd(g: Geom, d, x, wc, bc, imask):
-    """d [C_dec, S*B]; x [C_out, S*B]; wc [3,3,3,C_dec,C_out]."""
+    """d [C_dec, ext]; x [C_out, ext]; wc [3,3,3,C_dec,C_out]."""
     c_dec = d.shape[0]
     c_out = x.shape[0]
-    dpad = jnp.pad(d, ((0, 0), (g.halo, g.halo)))
     wcat = _pack_wc_fwd(wc, c_dec, c_out, d.dtype)
     win = g.L + 2 * g.halo
+    shift = g.margin - g.halo   # window start within the extended array
     kern = functools.partial(_conv_fwd_kernel, g)
     return pl.pallas_call(
         kern,
         grid=(g.grid,),
         in_specs=[
+            # margin tiles would reach outside the array; clamp them —
+            # their outputs are zeroed by the interior mask anyway.
             pl.BlockSpec((pl.Element(c_dec), pl.Element(win)),
-                         lambda i: (0, i * g.L)),
+                         _win_index_map(g, win)),
             pl.BlockSpec((c_out, g.L), lambda i: (0, i)),
             pl.BlockSpec((1, g.L), lambda i: (0, i)),
             pl.BlockSpec((27 * _SUB, c_out), lambda i: (0, 0)),
             pl.BlockSpec((c_out, 1), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((c_out, g.L), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((c_out, g.S * g.B), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((c_out, g.ext), x.dtype),
         scratch_shapes=[pltpu.VMEM((27 * _SUB, g.CH), d.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
-    )(dpad, x, imask, wcat, bc.reshape(-1, 1).astype(_F32))
+    )(d, x, imask, wcat, bc.reshape(-1, 1).astype(_F32))
 
 
 # ---------------------------------------------------------------------- #
-# K2b: conv backward                                                      #
-#   g [C_out, L(+halo)], d [C_dec, L(+halo)] -> dd [C_dec, L],            #
-#   dWc^T partials [grid, C_out, 27*_SUB]                                 #
+# K3b: whole-block backward                                               #
+#   g, d, x [*, ext] -> dx [C_in, ext] plus per-tile partials for         #
+#   dWc^T, dW1, dW2^T, db1, db2, dbc                                      #
 # ---------------------------------------------------------------------- #
 
-def _conv_bwd_kernel(g: Geom, gwin_ref, dwin_ref, im_ref, wdd_ref,
-                     dd_ref, dwc_ref, gcat_ref, dcat_ref):
+def _blk_bwd_kernel(g: Geom, gwin_ref, dwin_ref, x_ref, im_ref, wdd_ref,
+                    w1t_ref, b1_ref, w1_ref, w2_ref,
+                    dx_ref, dwc_ref, dw1_ref, dw2t_ref, db1_ref, db2_ref,
+                    dbc_ref, gcat_ref, dcat_ref):
     c_dec = dwin_ref.shape[0]
     c_out = gwin_ref.shape[0]
-    if c_dec < _SUB:
-        for k in range(27):
-            dcat_ref[k * _SUB + c_dec:(k + 1) * _SUB, :] = jnp.zeros(
-                (_SUB - c_dec, dcat_ref.shape[1]), dcat_ref.dtype)
-    if c_out < _SUB:
-        for k in range(27):
-            gcat_ref[k * _SUB + c_out:(k + 1) * _SUB, :] = jnp.zeros(
-                (_SUB - c_out, gcat_ref.shape[1]), gcat_ref.dtype)
+    _zero_pad_rows(dcat_ref, c_dec)
+    _zero_pad_rows(gcat_ref, c_out)
+    w1t = w1t_ref[...]
+    b1 = b1_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    dt_ = dx_ref.dtype
     dwc_acc = _F32(0.0)
+    dw1_acc = _F32(0.0)
+    dw2t_acc = _F32(0.0)
+    db1_acc = _F32(0.0)
+    db2_acc = _F32(0.0)
+    dbc_acc = _F32(0.0)
     for k in range(g.L // g.CH):
         c0 = k * g.CH
         for ti, (dh, dw, dt) in enumerate(TAPS):
             off = _tap_off(g, dh, dw, dt)
             # dd at lane l sums wc_tap^T @ g(l - off); dWc_tap sums
-            # d(l + off) x g(l)^T.  g is already zero on pad lanes.
+            # d(l + off) x g(l)^T.  g is zero on pad lanes and margins.
             gcat_ref[ti * _SUB:ti * _SUB + c_out, :] = \
                 gwin_ref[:, g.halo + c0 - off:g.halo + c0 - off + g.CH]
             dcat_ref[ti * _SUB:ti * _SUB + c_dec, :] = \
                 dwin_ref[:, g.halo + c0 + off:g.halo + c0 + off + g.CH]
+        imc = im_ref[:, c0:c0 + g.CH].astype(dt_)
         dd = _dot(wdd_ref[...], gcat_ref[...], ((1,), (0,)))
-        dd = dd * im_ref[:, c0:c0 + g.CH].astype(_F32)
-        dd_ref[:, c0:c0 + g.CH] = dd.astype(dd_ref.dtype)
-        gc = gwin_ref[:, g.halo + c0:g.halo + c0 + g.CH]
+        dd = (dd.astype(dt_) * imc)
+        # gc must be re-masked: on margin tiles the clamped window makes
+        # this slice alias shifted REAL data, which would contaminate the
+        # dWc/dbc partials and write junk into the dx margins.
+        gc = gwin_ref[:, g.halo + c0:g.halo + c0 + g.CH] * imc
         dwc_acc = dwc_acc + _dot(gc, dcat_ref[...], ((1,), (1,)))
+        # expand/relu recompute + decay backward, all in VMEM
+        xc = x_ref[:, c0:c0 + g.CH]
+        z = _dot(w1t, xc, ((1,), (0,))) + b1
+        dz = _dot(w2, dd, ((1,), (0,)))
+        dz = jnp.where(z > 0.0, dz, 0.0).astype(dt_)
+        dx = _dot(w1, dz, ((1,), (0,)))
+        dx_ref[:, c0:c0 + g.CH] = (dx + gc.astype(_F32)).astype(dt_)
+        dw1_acc = dw1_acc + _dot(xc, dz, ((1,), (1,)))
+        h = jnp.maximum(z, 0.0).astype(dt_)
+        dw2t_acc = dw2t_acc + _dot(dd, h, ((1,), (1,)))
+        db1_acc = db1_acc + jnp.sum(dz.astype(_F32), axis=1,
+                                    keepdims=True)
+        db2_acc = db2_acc + jnp.sum(dd.astype(_F32), axis=1,
+                                    keepdims=True)
+        dbc_acc = dbc_acc + jnp.sum(gc.astype(_F32), axis=1,
+                                    keepdims=True)
     dwc_ref[0] = dwc_acc
+    dw1_ref[0] = dw1_acc
+    dw2t_ref[0] = dw2t_acc
+    db1_ref[0] = db1_acc
+    db2_ref[0] = db2_acc
+    dbc_ref[0] = dbc_acc
 
 
-def conv_bwd(g: Geom, gy, d, wc, imask):
-    """gy, d [*, S*B] -> (dd [C_dec, S*B], dwc [3,3,3,C_dec,C_out])."""
+def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
+    """One-kernel backward of a whole block.
+
+    Returns (dx [C_in, ext], dwc [3,3,3,C_dec,C_out], dw1, db1, dw2,
+    db2, dbc) — dx already includes the residual pass-through of gy.
+    """
     c_dec = d.shape[0]
     c_out = gy.shape[0]
-    gpad = jnp.pad(gy, ((0, 0), (g.halo, g.halo)))
-    dpad = jnp.pad(d, ((0, 0), (g.halo, g.halo)))
+    c_in, c_mid = w1.shape
     wdd = _pack_wc_bwd(wc, c_dec, c_out, gy.dtype)
     win = g.L + 2 * g.halo
-    kern = functools.partial(_conv_bwd_kernel, g)
-    dd, dwc_p = pl.pallas_call(
+    kern = functools.partial(_blk_bwd_kernel, g)
+    outs = pl.pallas_call(
         kern,
         grid=(g.grid,),
         in_specs=[
             pl.BlockSpec((pl.Element(c_out), pl.Element(win)),
-                         lambda i: (0, i * g.L)),
+                         _win_index_map(g, win)),
             pl.BlockSpec((pl.Element(c_dec), pl.Element(win)),
-                         lambda i: (0, i * g.L)),
+                         _win_index_map(g, win)),
+            pl.BlockSpec((c_in, g.L), lambda i: (0, i)),
             pl.BlockSpec((1, g.L), lambda i: (0, i)),
             pl.BlockSpec((c_dec, 27 * _SUB), lambda i: (0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((c_dec, g.L), lambda i: (0, i)),
-            pl.BlockSpec((1, c_out, 27 * _SUB), lambda i: (i, 0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((c_dec, g.S * g.B), gy.dtype),
-            jax.ShapeDtypeStruct((g.grid, c_out, 27 * _SUB), _F32),
-        ),
-        scratch_shapes=[pltpu.VMEM((27 * _SUB, g.CH), gy.dtype),
-                        pltpu.VMEM((27 * _SUB, g.CH), d.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=INTERPRET,
-    )(gpad, dpad, imask, wdd)
-    # [C_out, 27*_SUB] -> [27, C_dec, C_out] -> [3,3,3,C_dec,C_out]
-    dwc_t = dwc_p.sum(axis=0).reshape(c_out, 27, _SUB)[:, :, :c_dec]
-    dwc = jnp.transpose(dwc_t, (1, 2, 0)).reshape(3, 3, 3, c_dec, c_out)
-    return dd, dwc
-
-
-# ---------------------------------------------------------------------- #
-# K1b: segment backward                                                   #
-#   x, dd, gy [*, L] -> dx (= segment dx + gy), dW1/dW2^T/db1 partials    #
-# ---------------------------------------------------------------------- #
-
-def _seg_bwd_kernel(g: Geom, x_ref, dd_ref, gy_ref, w1t_ref, b1_ref,
-                    w1_ref, w2_ref, dx_ref, dw1_ref, dw2t_ref, db1_ref):
-    w1t = w1t_ref[...]
-    w1 = w1_ref[...]
-    w2 = w2_ref[...]
-    b1 = b1_ref[...]
-    dw1_acc = _F32(0.0)
-    dw2t_acc = _F32(0.0)
-    db1_acc = _F32(0.0)
-    dt_ = dx_ref.dtype
-    for k in range(g.L // g.CH):
-        c0 = k * g.CH
-        xc = x_ref[:, c0:c0 + g.CH]
-        ddc = dd_ref[:, c0:c0 + g.CH]
-        z = _dot(w1t, xc, ((1,), (0,))) + b1
-        dz = _dot(w2, ddc, ((1,), (0,)))
-        dz = jnp.where(z > 0.0, dz, 0.0).astype(dt_)
-        dx = _dot(w1, dz, ((1,), (0,)))
-        dx_ref[:, c0:c0 + g.CH] = (
-            dx + gy_ref[:, c0:c0 + g.CH].astype(_F32)).astype(dt_)
-        dw1_acc = dw1_acc + _dot(xc, dz, ((1,), (1,)))
-        h = jnp.maximum(z, 0.0).astype(dt_)
-        dw2t_acc = dw2t_acc + _dot(ddc, h, ((1,), (1,)))
-        db1_acc = db1_acc + jnp.sum(dz.astype(_F32), axis=1,
-                                    keepdims=True)
-    dw1_ref[0] = dw1_acc
-    dw2t_ref[0] = dw2t_acc
-    db1_ref[0] = db1_acc
-
-
-def seg_bwd(g: Geom, x, dd, gy, w1, b1, w2):
-    c_in, c_mid = w1.shape
-    c_dec = w2.shape[1]
-    kern = functools.partial(_seg_bwd_kernel, g)
-    dx, dw1_p, dw2t_p, db1_p = pl.pallas_call(
-        kern,
-        grid=(g.grid,),
-        in_specs=[
-            pl.BlockSpec((c_in, g.L), lambda i: (0, i)),
-            pl.BlockSpec((c_dec, g.L), lambda i: (0, i)),
-            pl.BlockSpec((c_in, g.L), lambda i: (0, i)),
             pl.BlockSpec((c_mid, c_in), lambda i: (0, 0)),
             pl.BlockSpec((c_mid, 1), lambda i: (0, 0)),
             pl.BlockSpec((c_in, c_mid), lambda i: (0, 0)),
@@ -389,23 +397,36 @@ def seg_bwd(g: Geom, x, dd, gy, w1, b1, w2):
         ],
         out_specs=(
             pl.BlockSpec((c_in, g.L), lambda i: (0, i)),
+            pl.BlockSpec((1, c_out, 27 * _SUB), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c_in, c_mid), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c_dec, c_mid), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c_mid, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c_dec, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c_out, 1), lambda i: (i, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((c_in, g.S * g.B), x.dtype),
+            jax.ShapeDtypeStruct((c_in, g.ext), x.dtype),
+            jax.ShapeDtypeStruct((g.grid, c_out, 27 * _SUB), _F32),
             jax.ShapeDtypeStruct((g.grid, c_in, c_mid), _F32),
             jax.ShapeDtypeStruct((g.grid, c_dec, c_mid), _F32),
             jax.ShapeDtypeStruct((g.grid, c_mid, 1), _F32),
+            jax.ShapeDtypeStruct((g.grid, c_dec, 1), _F32),
+            jax.ShapeDtypeStruct((g.grid, c_out, 1), _F32),
         ),
+        scratch_shapes=[pltpu.VMEM((27 * _SUB, g.CH), gy.dtype),
+                        pltpu.VMEM((27 * _SUB, g.CH), d.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
-    )(x, dd, gy, w1.T.astype(x.dtype), b1.reshape(-1, 1).astype(_F32),
-      w1.astype(x.dtype), w2.astype(x.dtype))
-    return (dx, dw1_p.sum(axis=0), dw2t_p.sum(axis=0).T,
-            db1_p.sum(axis=0)[:, 0])
+    )(gy, d, x, imask, wdd, w1.T.astype(x.dtype),
+      b1.reshape(-1, 1).astype(_F32), w1.astype(x.dtype),
+      w2.astype(x.dtype))
+    dx, dwc_p, dw1_p, dw2t_p, db1_p, db2_p, dbc_p = outs
+    dwc_t = dwc_p.sum(axis=0).reshape(c_out, 27, _SUB)[:, :, :c_dec]
+    dwc = jnp.transpose(dwc_t, (1, 2, 0)).reshape(3, 3, 3, c_dec, c_out)
+    return (dx, dwc, dw1_p.sum(axis=0),
+            db1_p.sum(axis=0)[:, 0], dw2t_p.sum(axis=0).T,
+            db2_p.sum(axis=0)[:, 0], dbc_p.sum(axis=0)[:, 0])
 
 
 # ---------------------------------------------------------------------- #
@@ -421,11 +442,11 @@ def _block_fwd(g: Geom, x, im, p):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_stack_t(g: Geom, x, blocks):
-    """Apply all WDSR-B blocks to x [C, S*B] (padded-WT orientation).
+    """Apply all WDSR-B blocks to x [C, ext] (padded-WT, margined).
 
-    x must be zero on the W/T pad lanes.  blocks: tuple of per-block
-    effective params (w1 [C, C_mid], b1, w2 [C_mid, C_dec], b2,
-    wc [3,3,3,C_dec,C], bc).
+    x must be zero on the W/T pad lanes and halo margins (``to_t``
+    produces this form).  blocks: tuple of per-block effective params
+    (w1 [C, C_mid], b1, w2 [C_mid, C_dec], b2, wc [3,3,3,C_dec,C], bc).
     """
     im = interior_mask(g, x.dtype)
     h = x
@@ -448,14 +469,12 @@ def _stack_fwd(g: Geom, x, blocks):
 def _stack_bwd(g: Geom, res, gy):
     xs, ds, blocks = res
     im = interior_mask(g, gy.dtype)
-    gy = gy * im.astype(gy.dtype)   # cotangent may be junk on pad lanes
+    gy = gy * im.astype(gy.dtype)   # cotangent may be junk off-interior
     dblocks = []
     for i in reversed(range(len(blocks))):
         w1, b1, w2, b2, wc, bc = blocks[i]
-        dd, dwc = conv_bwd(g, gy, ds[i], wc, im)
-        dbc = jnp.sum(gy, axis=1).astype(_F32)
-        db2 = jnp.sum(dd, axis=1).astype(_F32)
-        gy, dw1, dw2, db1 = seg_bwd(g, xs[i], dd, gy, w1, b1, w2)
+        gy, dwc, dw1, db1, dw2, db2, dbc = blk_bwd(
+            g, gy, ds[i], xs[i], wc, w1, b1, w2, im)
         dblocks.append((dw1.astype(w1.dtype), db1.astype(b1.dtype),
                         dw2.astype(w2.dtype), db2.astype(b2.dtype),
                         dwc.astype(wc.dtype), dbc.astype(bc.dtype)))
@@ -469,25 +488,26 @@ fused_stack_t.defvjp(_stack_fwd, _stack_bwd)
 # 5D <-> transposed padded-2D adapters                                    #
 # ---------------------------------------------------------------------- #
 
-def to_t(x5d):
-    """[B, H, W, T, C] -> [C, H*(W+2)*(T+2)*B], zero W/T pad lanes."""
+def to_t(x5d, g: Geom):
+    """[B, H, W, T, C] -> [C, ext] with zero W/T pads and margins."""
     b, h, w, t, c = x5d.shape
     xp = jnp.pad(x5d, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-    return jnp.transpose(xp, (4, 1, 2, 3, 0)).reshape(
-        c, h * (w + 2) * (t + 2) * b)
+    x2 = jnp.transpose(xp, (4, 1, 2, 3, 0)).reshape(c, g.S * b)
+    return jnp.pad(x2, ((0, 0), (g.margin, g.margin)))
 
 
-def from_t(x2d, b, h, w, t):
+def from_t(x2d, g: Geom, b, h, w, t):
     c = x2d.shape[0]
-    x5 = x2d.reshape(c, h, w + 2, t + 2, b)[:, :, 1:-1, 1:-1, :]
+    x2 = x2d[:, g.margin:g.margin + g.S * b]
+    x5 = x2.reshape(c, h, w + 2, t + 2, b)[:, :, 1:-1, 1:-1, :]
     return jnp.transpose(x5, (4, 1, 2, 3, 0))
 
 
-def stack_apply_5d(x5d, blocks, target_rows: int = 484,
-                   target_ch: int = 48):
+def stack_apply_5d(x5d, blocks, target_rows: int = 363,
+                   target_ch: int = 33):
     """Convenience: run the fused stack on a [B, H, W, T, C] batch."""
     b, h, w, t, _ = x5d.shape
     g = make_geom(h, w, t, b, target_rows, target_ch,
                   itemsize=jnp.dtype(x5d.dtype).itemsize)
-    out = fused_stack_t(g, to_t(x5d), blocks)
-    return from_t(out, b, h, w, t)
+    out = fused_stack_t(g, to_t(x5d, g), blocks)
+    return from_t(out, g, b, h, w, t)

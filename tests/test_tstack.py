@@ -82,13 +82,13 @@ def test_gradient_parity(x5, blocks):
 
 
 def test_adapters_roundtrip(x5):
-    x2 = ts.to_t(x5)
-    g = ts.make_geom(H, W, T, B)
-    assert x2.shape == (C, g.S * g.B)
-    # pad lanes are zero
+    g = ts.make_geom(H, W, T, B, target_rows=18, target_ch=6)
+    x2 = ts.to_t(x5, g)
+    assert x2.shape == (C, g.ext)
+    # pad lanes and margins are zero
     im = ts.interior_mask(g, jnp.float32)
     assert float(jnp.abs(x2 * (1 - im)).max()) == 0.0
-    back = ts.from_t(x2, B, H, W, T)
+    back = ts.from_t(x2, g, B, H, W, T)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x5))
 
 
@@ -96,3 +96,36 @@ def test_geom_divisors():
     g = ts.make_geom(22, 22, 9, 128)
     assert g.S % g.rows == 0 and g.rows % g.ch_rows == 0
     assert g.S == 22 * 24 * 11
+
+
+def test_model_fused_stack_t_parity():
+    """WDSRConv3D(fused_stack='t') matches the plain path with the SAME
+    parameter tree (weight norm chains through the fused custom_vjp)."""
+    from probav_tpu.models import WDSRConv3D
+
+    kw = dict(scale=3, num_filters=8, num_res_blocks=2, exp_rate=4,
+              decay_rate=0.8, num_img_lr=7, patch_size_lr=4,
+              mean=100.0, std=50.0)
+    plain = WDSRConv3D(**kw)
+    fused = WDSRConv3D(fused_stack="t", **kw)
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.uniform(0, 300, (2, 10, 10, 7, 1)), jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    p2 = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+
+    out_p = plain.apply({"params": params}, x)
+    out_f = fused.apply({"params": params}, x)
+    scale = float(jnp.abs(out_p).max())
+    assert float(jnp.abs(out_p - out_f).max()) < 1e-4 * scale
+
+    def loss(fn, p):
+        return jnp.mean(jnp.square(fn.apply({"params": p}, x) / 100.0))
+
+    gp = jax.grad(lambda p: loss(plain, p))(params)
+    gf = jax.grad(lambda p: loss(fused, p))(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() /
+                           (jnp.abs(a).max() + 1e-8)), gp, gf)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-3, rel

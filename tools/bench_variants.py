@@ -2,7 +2,8 @@
 """Measure flagship train-step variants on the real TPU chip.
 
 Usage: python tools/bench_variants.py [variant ...]
-Variants: plain_f32 stack_f32 plain_bf16 stack_bf16 block_f32 remat_f32
+Variants: plain_f32 stack_f32 tstack_f32 plain_bf16 stack_bf16
+tstack_bf16 block_f32 remat_f32
 
 Timing forces device-queue completion by fetching the optimizer step counter
 (jax.block_until_ready can return early through the axon tunnel).  One
@@ -18,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WATCHDOG_SEC = 900
+WATCHDOG_SEC = 1800
 
 
 def arm_watchdog():
@@ -53,10 +54,11 @@ def main(variants):
 
     def build(variant):
         dtype = jnp.bfloat16 if "bf16" in variant else jnp.float32
+        fs = "t" if "tstack" in variant else ("stack" in variant)
         return build_model(cfg, "NIR", dtype=dtype,
                            remat=("remat" in variant),
                            fused_block=("block" in variant),
-                           fused_stack=("stack" in variant))
+                           fused_stack=fs)
 
     results = {}
     for variant in variants:
