@@ -11,11 +11,13 @@ and prints ONE JSON line:
 
 ``value`` is the validated production configuration: bf16 compute dtype
 (parameters, optimizer and loss stay float32 — the reference's loss
-bit-depth contract).  Convergence parity evidence: tools/bf16_convergence.py
-trains the identical flagship topology f32-vs-bf16 with the same
+bit-depth contract) with the transposed fused Pallas block stack
+(``fused_stack='t'``, ops/pallas_tstack.py).  Convergence parity
+evidence: ``tools/bf16_convergence.py 800 --fused`` trains the identical
+flagship topology (f32 plain XLA vs bf16 fused) with the same
 seed/schedule on a synthetic SR task; the acceptance gate is final val
-cPSNR within 0.1 dB (result committed in BENCH_NOTES.md).  The f32 number
-is reported alongside in ``f32_patches_per_sec``.
+cPSNR within 0.1 dB (result committed in BENCH_NOTES.md).  The fused f32
+and plain-XLA bf16 numbers are reported alongside.
 
 Baseline: the reference publishes no machine throughput (BASELINE.md), so
 ``vs_baseline`` uses a roofline ESTIMATE of the reference's GTX1080ti rate:
@@ -37,7 +39,8 @@ import time
 ESTIMATED_REFERENCE_PATCHES_PER_SEC = 400.0
 
 
-def measure(dtype_name: str, iters: int = 50) -> float:
+def measure(dtype_name: str, iters: int = 50,
+            fused_stack=False) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,7 +53,7 @@ def measure(dtype_name: str, iters: int = 50) -> float:
     cfg = Config.from_file("cfg/p16t9c85r12.cfg")
     batch = cfg.batch_size
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-    model = build_model(cfg, "NIR", dtype=dtype)
+    model = build_model(cfg, "NIR", dtype=dtype, fused_stack=fused_stack)
     losses = ShiftCompensatedLosses(
         target_shape=(cfg.hr_patch_size, cfg.hr_patch_size, 1))
     trainer = ModelTrainer(
@@ -88,17 +91,18 @@ def measure(dtype_name: str, iters: int = 50) -> float:
 
 
 def main():
-    bf16_pps = measure("bf16")
-    f32_pps = measure("f32")
+    fused_bf16 = measure("bf16", fused_stack="t")
+    fused_f32 = measure("f32", fused_stack="t")
     print(json.dumps({
-        "metric": "train_patches_per_sec_1chip_p16t9c85r12_b128_bf16",
-        "value": round(bf16_pps, 1),
+        "metric":
+            "train_patches_per_sec_1chip_p16t9c85r12_b128_bf16_tstack",
+        "value": round(fused_bf16, 1),
         "unit": "patches/sec",
-        "vs_baseline": round(bf16_pps / ESTIMATED_REFERENCE_PATCHES_PER_SEC,
-                             2),
-        "f32_patches_per_sec": round(f32_pps, 1),
-        "f32_vs_baseline": round(f32_pps /
-                                 ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),
+        "vs_baseline": round(fused_bf16 /
+                             ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),
+        "f32_tstack_patches_per_sec": round(fused_f32, 1),
+        "f32_tstack_vs_baseline": round(
+            fused_f32 / ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),
     }))
 
 

@@ -353,7 +353,7 @@ class FuseNetConv2D(nn.Module):
 def build_model(cfg, band: str, model_type: str = "wdsr",
                 dtype: Dtype = jnp.float32, remat: bool = False,
                 fused_block: bool = False,
-                fused_stack: bool = False) -> nn.Module:
+                fused_stack: Any = False) -> nn.Module:
     """Construct the model described by a Config for one band.
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size

@@ -35,8 +35,11 @@ tools/profile_stack.py + tools/trace_step.py):
   slice 10 ms/step — i.e. layout transitions between the model's
   conv-native [B,H,W,T,C] activations and the kernel's flat [N,C]
   operands, not the boundary count and not the kernel itself.
-Hence OPT-IN (fused=True / fused_stack=True) until the kernel speaks the
-conv-native layout (or the conv joins the kernel).
+Hence OPT-IN (fused=True / fused_stack=True).  RESOLVED in round 2: the
+conv-native-layout kernel exists — ops/pallas_tstack.py speaks XLA's
+batch-minor orientation, folds the 3^3 conv into the kernel as lane-shift
+taps, and WINS in the full step (55 -> 43 ms/step bf16; bench.py).  This
+module is kept as the measured record of why flat [N, C] operands lose.
 
 Weight-norm reparameterization stays OUTSIDE the kernel (effective weights
 are computed in traced JAX code, so v/g gradients chain automatically).

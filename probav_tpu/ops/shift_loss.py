@@ -9,12 +9,16 @@ of TF graph ops; here the whole scan is one vectorized XLA computation (and a
 fused Pallas kernel on TPU — see probav_tpu.ops.pallas_shift_loss).
 
 Dispatch: the vectorized XLA path is the default and is NOT the step
-bottleneck — measured on one v5e chip at batch 128, the l1 forward+backward
-inside the fused train step costs ~0.2 ms out of a 1.3 ms step.  The fused
-Pallas kernel (ops/pallas_shift_loss.py) is numerically verified but opt-in
+bottleneck.  Committed measurement (round 2, tools/trace_groups.py on the
+production 43 ms bf16 train step at batch 128): the entire loss + metric
+subgraph — both 49-shift scans, forward and backward — accounts for
+~0.8 ms/step (the [49,128] table fusions at 0.34, the 42x42 update-slice
+stack at 0.20, abs/multiply reduces at 0.2).  A lane-aligned Pallas
+rewrite could at best win back a fraction of 2% of the step, so the XLA
+path stays the default by measurement, not by default.  The fused Pallas
+kernel (ops/pallas_shift_loss.py) remains numerically verified but opt-in
 (``use_pallas=True``): the current Mosaic toolchain lowers its unaligned
-42x42 window reductions pathologically slowly, so it loses to XLA until a
-lane-aligned reformulation lands.
+42x42 window reductions pathologically slowly.
 
 Faithfulness notes (bit-level contracts preserved from loss.py):
 - the ground truth enters the residual UNMASKED: occluded HR pixels contribute

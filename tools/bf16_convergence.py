@@ -1,6 +1,10 @@
 #!/usr/bin/env python3
 """bf16-vs-f32 convergence parity on a synthetic SR task (real TPU).
 
+With ``--fused`` the bf16 run uses the production kernel tier
+(``fused_stack='t'``, ops/pallas_tstack.py), so the comparison validates
+the exact configuration bench.py reports: f32 plain XLA vs bf16 fused.
+
 Validates the bf16 compute recipe (model compute dtype bfloat16, parameters
 and loss in float32 — the reference's loss bit-depth contract, loss.py) by
 training the flagship topology on a synthetic multi-frame SR dataset with
@@ -58,7 +62,7 @@ def make_dataset(rng, n_scenes=600, patch=16, shift=6, t=9, scale=3,
     return lrs, np.clip(hrs, 0, 65535), masks
 
 
-def run_one(dtype_name, data, steps, seed=11):
+def run_one(dtype_name, data, steps, seed=11, fused_stack=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -77,7 +81,7 @@ def run_one(dtype_name, data, steps, seed=11):
     model = WDSRConv3D(scale=3, num_filters=32, num_res_blocks=12,
                        exp_rate=8, decay_rate=0.8, num_img_lr=9,
                        patch_size_lr=16, mean=8075.2045, std=3160.7272,
-                       dtype=dtype)
+                       dtype=dtype, fused_stack=fused_stack)
     losses = ShiftCompensatedLosses(target_shape=(48, 48, 1))
     import tempfile
     trainer = ModelTrainer(model, losses.l1, losses.cpsnr,
@@ -98,7 +102,8 @@ def run_one(dtype_name, data, steps, seed=11):
     from probav_tpu.data.loader import Batcher
     vb = Batcher((xv, yv, mv), batch, seed=1, drop_remainder=False)
     val_loss, val_psnr = trainer.evaluate(vb, val_steps=10 ** 9)
-    print(f"[{dtype_name}] steps={int(trainer.state.step)} "
+    tag = dtype_name + ("+tstack" if fused_stack else "")
+    print(f"[{tag}] steps={int(trainer.state.step)} "
           f"val_loss={val_loss:.4f} val_cPSNR={val_psnr:.4f} dB "
           f"({dt:.0f}s)", flush=True)
     return {"dtype": dtype_name, "steps": int(trainer.state.step),
@@ -113,7 +118,9 @@ def main():
     rng = np.random.default_rng(123)
     print("building dataset...", flush=True)
     data = make_dataset(rng)
-    out = [run_one("f32", data, steps), run_one("bf16", data, steps)]
+    fused = "t" if "--fused" in sys.argv else False
+    out = [run_one("f32", data, steps),
+           run_one("bf16", data, steps, fused_stack=fused)]
     delta = abs(out[0]["val_cpsnr"] - out[1]["val_cpsnr"])
     result = {"f32": out[0], "bf16": out[1],
               "delta_db": round(delta, 4), "pass_0.1db": delta <= 0.1}

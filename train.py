@@ -10,6 +10,8 @@ checkpoint auto-resume.  TPU-native extensions beyond the reference flags:
 
   --mesh-data N --mesh-model M   multi-chip mesh (data/tensor parallel)
   --bf16                         bfloat16 compute dtype for the conv stack
+  --fused-stack {off,flat,t}     WDSR-B block-stack kernel tier ('t' is the
+                                 production Pallas path on TPU)
   --staged-decay                 the 10/20-epoch lr decay schedule
 """
 
@@ -37,6 +39,11 @@ def parse_args():
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh size")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fused-stack", choices=["off", "flat", "t"],
+                   default="off",
+                   help="WDSR-B block-stack kernel tier: 't' = the "
+                        "transposed fused Pallas stack (fastest on TPU; "
+                        "single-chip, batch a multiple of 128)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
@@ -72,9 +79,12 @@ def patch_net(cfg, opt):
 
     logger.info("[ INFO ] Building model...")
     model_type = "iwdsr" if opt.modelType == "iwdsr" else "wdsr"
+    fused_stack = {"off": False, "flat": True, "t": "t"}[opt.fused_stack]
     model = build_model(cfg, opt.band, model_type=model_type,
                         dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
-                        remat=opt.remat and model_type == "wdsr")
+                        remat=opt.remat and model_type == "wdsr",
+                        fused_stack=fused_stack if model_type == "wdsr"
+                        else False)
 
     steps_per_epoch = max(1, len(x_train) // cfg.batch_size)
     tx = build_optimizer(cfg.optimizer, cfg.learning_rate,
