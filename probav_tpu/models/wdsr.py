@@ -153,6 +153,8 @@ class WDSRConv3D(nn.Module):
     remat: bool = False
     fused_block: bool = False
     fused_stack: Any = False   # False | True (flat v1) | "t" (transposed)
+    mesh: Any = None           # with fused_stack="t": run the stack under
+    #                            shard_map, batch split over the 'data' axis
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -176,12 +178,17 @@ class WDSRConv3D(nn.Module):
         f, k = self.num_filters, self.kernel_size
         x = WNConv(f, k, "SAME", "relu", dtype=self.dtype, name="mainConv1")(x)
         from probav_tpu.ops import pallas_tstack
-        # The transposed stack needs the batch to fill whole 128-lane
-        # groups (tap shifts are multiples of B); odd batches — notably
-        # model.init's sample of 1 — take the plain loop, which declares
-        # the identical parameter tree.
-        use_t = (self.fused_stack == "t" and
-                 (x.shape[0] % 128 == 0 or pallas_tstack.INTERPRET))
+        # The transposed stack needs the (per-shard) batch to fill whole
+        # 128-lane groups (tap shifts are multiples of B); odd batches —
+        # notably model.init's sample of 1 — take the plain loop, which
+        # declares the identical parameter tree.
+        shards = 1
+        if self.mesh is not None and "data" in self.mesh.shape:
+            shards = self.mesh.shape["data"]
+        aligned = (x.shape[0] % shards == 0 and
+                   ((x.shape[0] // shards) % 128 == 0 or
+                    pallas_tstack.INTERPRET))
+        use_t = self.fused_stack == "t" and aligned
         if use_t:
             # Transposed fully-fused stack (ops/pallas_tstack.py): one
             # custom_vjp, activations in XLA's batch-minor orientation,
@@ -192,7 +199,20 @@ class WDSRConv3D(nn.Module):
                           dtype=self.dtype,
                           name=f"resBlock_{i}").effective_params(f)
                 for i in range(self.num_res_blocks))
-            x = stack_apply_5d(x, blocks)
+            if shards > 1:
+                # SPMD: the partitioner cannot split a custom call, so
+                # run the stack under shard_map — each chip applies the
+                # kernels to its batch shard with replicated weights
+                # (debug/trainMultiGPU.py:65-68 capability, kernel tier).
+                import jax
+                from jax.sharding import PartitionSpec as P
+                bspecs = jax.tree.map(lambda _: P(), blocks)
+                x = jax.shard_map(
+                    stack_apply_5d, mesh=self.mesh,
+                    in_specs=(P("data"), bspecs),
+                    out_specs=P("data"), check_vma=False)(x, blocks)
+            else:
+                x = stack_apply_5d(x, blocks)
         elif self.fused_stack and self.fused_stack != "t":
             # ONE custom_vjp around the whole stack (see
             # ops/pallas_block_stack.py); identical param tree.  remat is
@@ -353,7 +373,7 @@ class FuseNetConv2D(nn.Module):
 def build_model(cfg, band: str, model_type: str = "wdsr",
                 dtype: Dtype = jnp.float32, remat: bool = False,
                 fused_block: bool = False,
-                fused_stack: Any = False) -> nn.Module:
+                fused_stack: Any = False, mesh: Any = None) -> nn.Module:
     """Construct the model described by a Config for one band.
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size
@@ -364,7 +384,7 @@ def build_model(cfg, band: str, model_type: str = "wdsr",
     mean, std = cfg.band_stats(band)
     cls = {"wdsr": WDSRConv3D, "iwdsr": IWDSRConv3D}[model_type]
     extra = ({"remat": remat, "fused_block": fused_block,
-              "fused_stack": fused_stack}
+              "fused_stack": fused_stack, "mesh": mesh}
              if model_type == "wdsr" else {})
     return cls(
         **extra,

@@ -98,6 +98,31 @@ def test_geom_divisors():
     assert g.S == 22 * 24 * 11
 
 
+def test_model_fused_stack_t_mesh():
+    """fused_stack='t' under a data mesh: the stack runs per-shard via
+    shard_map and matches the single-device plain path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from probav_tpu.models import WDSRConv3D
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    kw = dict(scale=3, num_filters=8, num_res_blocks=2, exp_rate=4,
+              decay_rate=0.8, num_img_lr=7, patch_size_lr=4,
+              mean=100.0, std=50.0)
+    plain = WDSRConv3D(**kw)
+    fused = WDSRConv3D(fused_stack="t", mesh=mesh, **kw)
+    r = np.random.default_rng(6)
+    x = jnp.asarray(r.uniform(0, 300, (8, 10, 10, 7, 1)), jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out_f = jax.jit(lambda p, xx: fused.apply({"params": p}, xx))(
+        params, xs)
+    out_p = plain.apply({"params": params}, x)
+    scale = float(jnp.abs(out_p).max())
+    assert float(jnp.abs(out_p - out_f).max()) < 1e-4 * scale
+
+
 def test_model_fused_stack_t_parity():
     """WDSRConv3D(fused_stack='t') matches the plain path with the SAME
     parameter tree (weight norm chains through the fused custom_vjp)."""

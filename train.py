@@ -77,6 +77,10 @@ def patch_net(cfg, opt):
     y_train = np.asarray(y_train, dtype=np.float32)
     y_val = np.asarray(y_val, dtype=np.float32)
 
+    mesh = None
+    if opt.mesh_data:
+        mesh = make_mesh(num_data=opt.mesh_data, num_model=opt.mesh_model)
+
     logger.info("[ INFO ] Building model...")
     model_type = "iwdsr" if opt.modelType == "iwdsr" else "wdsr"
     fused_stack = {"off": False, "flat": True, "t": "t"}[opt.fused_stack]
@@ -84,7 +88,8 @@ def patch_net(cfg, opt):
                         dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
                         remat=opt.remat and model_type == "wdsr",
                         fused_stack=fused_stack if model_type == "wdsr"
-                        else False)
+                        else False,
+                        mesh=mesh if fused_stack == "t" else None)
 
     steps_per_epoch = max(1, len(x_train) // cfg.batch_size)
     tx = build_optimizer(cfg.optimizer, cfg.learning_rate,
