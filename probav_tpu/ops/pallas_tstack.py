@@ -64,7 +64,11 @@ INTERPRET = False
 
 _F32 = jnp.float32
 _VMEM_LIMIT = 100 * 2 ** 20
-_SUB = 32        # sublane stride for concatenated tap pieces
+def _sub(*chans):
+    """Sublane stride for concatenated tap pieces: smallest multiple of
+    the 8-sublane granularity holding every involved channel count (32
+    for the flagship's 25/32; 56 for the 64-filter model's 51)."""
+    return -(-max(chans) // 8) * 8
 
 
 class Geom(NamedTuple):
@@ -181,28 +185,28 @@ def _win_index_map(g: Geom, win: int):
 # weight packing for the concatenated-tap dots                            #
 # ---------------------------------------------------------------------- #
 
-def _pack_wc_fwd(wc, c_dec, c_out, dtype):
-    """[3,3,3,C_dec,C_out] -> [27*_SUB, C_out], zero pad rows."""
+def _pack_wc_fwd(wc, c_dec, c_out, dtype, sub):
+    """[3,3,3,C_dec,C_out] -> [27*sub, C_out], zero pad rows."""
     w = wc.reshape(27, c_dec, c_out).astype(dtype)
-    w = jnp.pad(w, ((0, 0), (0, _SUB - c_dec), (0, 0)))
-    return w.reshape(27 * _SUB, c_out)
+    w = jnp.pad(w, ((0, 0), (0, sub - c_dec), (0, 0)))
+    return w.reshape(27 * sub, c_out)
 
 
-def _pack_wc_bwd(wc, c_dec, c_out, dtype):
-    """[3,3,3,C_dec,C_out] -> [C_dec, 27*_SUB] (tap-major columns)."""
+def _pack_wc_bwd(wc, c_dec, c_out, dtype, sub):
+    """[3,3,3,C_dec,C_out] -> [C_dec, 27*sub] (tap-major columns)."""
     w = wc.reshape(27, c_dec, c_out).astype(dtype)
-    w = jnp.pad(w, ((0, 0), (0, 0), (0, _SUB - c_out)))
-    return jnp.transpose(w, (1, 0, 2)).reshape(c_dec, 27 * _SUB)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, sub - c_out)))
+    return jnp.transpose(w, (1, 0, 2)).reshape(c_dec, 27 * sub)
 
 
-def _zero_pad_rows(cat_ref, c_used):
+def _zero_pad_rows(cat_ref, c_used, sub):
     """Zero the unwritten sublane rows of a tap-concat scratch once —
     their weights are zero, but uninitialized VMEM may hold NaNs and
     0*NaN would poison the dot."""
-    if c_used < _SUB:
+    if c_used < sub:
         for k in range(27):
-            cat_ref[k * _SUB + c_used:(k + 1) * _SUB, :] = jnp.zeros(
-                (_SUB - c_used, cat_ref.shape[1]), cat_ref.dtype)
+            cat_ref[k * sub + c_used:(k + 1) * sub, :] = jnp.zeros(
+                (sub - c_used, cat_ref.shape[1]), cat_ref.dtype)
 
 
 # ---------------------------------------------------------------------- #
@@ -253,16 +257,16 @@ def seg_fwd(g: Geom, x, imask, w1, b1, w2, b2):
 # K2: conv forward  d, x [*, ext] -> out [C_out, ext]                     #
 # ---------------------------------------------------------------------- #
 
-def _conv_fwd_kernel(g: Geom, dwin_ref, x_ref, im_ref, wcat_ref, bc_ref,
-                     o_ref, dcat_ref):
+def _conv_fwd_kernel(g: Geom, sub: int, dwin_ref, x_ref, im_ref,
+                     wcat_ref, bc_ref, o_ref, dcat_ref):
     c_dec = dwin_ref.shape[0]
     bc = bc_ref[...]
-    _zero_pad_rows(dcat_ref, c_dec)
+    _zero_pad_rows(dcat_ref, c_dec, sub)
     for k in range(g.L // g.CH):
         c0 = k * g.CH
         for ti, (dh, dw, dt) in enumerate(TAPS):
             start = g.halo + c0 + _tap_off(g, dh, dw, dt)
-            dcat_ref[ti * _SUB:ti * _SUB + c_dec, :] = \
+            dcat_ref[ti * sub:ti * sub + c_dec, :] = \
                 dwin_ref[:, start:start + g.CH]
         acc = _dot(wcat_ref[...], dcat_ref[...], ((0,), (0,)))
         out = acc + bc + x_ref[:, c0:c0 + g.CH].astype(_F32)
@@ -274,10 +278,10 @@ def conv_fwd(g: Geom, d, x, wc, bc, imask):
     """d [C_dec, ext]; x [C_out, ext]; wc [3,3,3,C_dec,C_out]."""
     c_dec = d.shape[0]
     c_out = x.shape[0]
-    wcat = _pack_wc_fwd(wc, c_dec, c_out, d.dtype)
+    sub = _sub(c_dec)
+    wcat = _pack_wc_fwd(wc, c_dec, c_out, d.dtype, sub)
     win = g.L + 2 * g.halo
-    shift = g.margin - g.halo   # window start within the extended array
-    kern = functools.partial(_conv_fwd_kernel, g)
+    kern = functools.partial(_conv_fwd_kernel, g, sub)
     return pl.pallas_call(
         kern,
         grid=(g.grid,),
@@ -288,12 +292,12 @@ def conv_fwd(g: Geom, d, x, wc, bc, imask):
                          _win_index_map(g, win)),
             pl.BlockSpec((c_out, g.L), lambda i: (0, i)),
             pl.BlockSpec((1, g.L), lambda i: (0, i)),
-            pl.BlockSpec((27 * _SUB, c_out), lambda i: (0, 0)),
+            pl.BlockSpec((27 * sub, c_out), lambda i: (0, 0)),
             pl.BlockSpec((c_out, 1), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((c_out, g.L), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((c_out, g.ext), x.dtype),
-        scratch_shapes=[pltpu.VMEM((27 * _SUB, g.CH), d.dtype)],
+        scratch_shapes=[pltpu.VMEM((27 * sub, g.CH), d.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
@@ -306,14 +310,14 @@ def conv_fwd(g: Geom, d, x, wc, bc, imask):
 #   dWc^T, dW1, dW2^T, db1, db2, dbc                                      #
 # ---------------------------------------------------------------------- #
 
-def _blk_bwd_kernel(g: Geom, gwin_ref, dwin_ref, x_ref, im_ref, wdd_ref,
-                    w1t_ref, b1_ref, w1_ref, w2_ref,
+def _blk_bwd_kernel(g: Geom, sub: int, gwin_ref, dwin_ref, x_ref, im_ref,
+                    wdd_ref, w1t_ref, b1_ref, w1_ref, w2_ref,
                     dx_ref, dwc_ref, dw1_ref, dw2t_ref, db1_ref, db2_ref,
                     dbc_ref, gcat_ref, dcat_ref):
     c_dec = dwin_ref.shape[0]
     c_out = gwin_ref.shape[0]
-    _zero_pad_rows(dcat_ref, c_dec)
-    _zero_pad_rows(gcat_ref, c_out)
+    _zero_pad_rows(dcat_ref, c_dec, sub)
+    _zero_pad_rows(gcat_ref, c_out, sub)
     w1t = w1t_ref[...]
     b1 = b1_ref[...]
     w1 = w1_ref[...]
@@ -331,9 +335,9 @@ def _blk_bwd_kernel(g: Geom, gwin_ref, dwin_ref, x_ref, im_ref, wdd_ref,
             off = _tap_off(g, dh, dw, dt)
             # dd at lane l sums wc_tap^T @ g(l - off); dWc_tap sums
             # d(l + off) x g(l)^T.  g is zero on pad lanes and margins.
-            gcat_ref[ti * _SUB:ti * _SUB + c_out, :] = \
+            gcat_ref[ti * sub:ti * sub + c_out, :] = \
                 gwin_ref[:, g.halo + c0 - off:g.halo + c0 - off + g.CH]
-            dcat_ref[ti * _SUB:ti * _SUB + c_dec, :] = \
+            dcat_ref[ti * sub:ti * sub + c_dec, :] = \
                 dwin_ref[:, g.halo + c0 + off:g.halo + c0 + off + g.CH]
         imc = im_ref[:, c0:c0 + g.CH].astype(dt_)
         dd = _dot(wdd_ref[...], gcat_ref[...], ((1,), (0,)))
@@ -376,9 +380,10 @@ def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
     c_dec = d.shape[0]
     c_out = gy.shape[0]
     c_in, c_mid = w1.shape
-    wdd = _pack_wc_bwd(wc, c_dec, c_out, gy.dtype)
+    sub = _sub(c_dec, c_out)
+    wdd = _pack_wc_bwd(wc, c_dec, c_out, gy.dtype, sub)
     win = g.L + 2 * g.halo
-    kern = functools.partial(_blk_bwd_kernel, g)
+    kern = functools.partial(_blk_bwd_kernel, g, sub)
     outs = pl.pallas_call(
         kern,
         grid=(g.grid,),
@@ -389,7 +394,7 @@ def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
                          _win_index_map(g, win)),
             pl.BlockSpec((c_in, g.L), lambda i: (0, i)),
             pl.BlockSpec((1, g.L), lambda i: (0, i)),
-            pl.BlockSpec((c_dec, 27 * _SUB), lambda i: (0, 0)),
+            pl.BlockSpec((c_dec, 27 * sub), lambda i: (0, 0)),
             pl.BlockSpec((c_mid, c_in), lambda i: (0, 0)),
             pl.BlockSpec((c_mid, 1), lambda i: (0, 0)),
             pl.BlockSpec((c_in, c_mid), lambda i: (0, 0)),
@@ -397,7 +402,7 @@ def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
         ],
         out_specs=(
             pl.BlockSpec((c_in, g.L), lambda i: (0, i)),
-            pl.BlockSpec((1, c_out, 27 * _SUB), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c_out, 27 * sub), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c_in, c_mid), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c_dec, c_mid), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, c_mid, 1), lambda i: (i, 0, 0)),
@@ -406,15 +411,15 @@ def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((c_in, g.ext), x.dtype),
-            jax.ShapeDtypeStruct((g.grid, c_out, 27 * _SUB), _F32),
+            jax.ShapeDtypeStruct((g.grid, c_out, 27 * sub), _F32),
             jax.ShapeDtypeStruct((g.grid, c_in, c_mid), _F32),
             jax.ShapeDtypeStruct((g.grid, c_dec, c_mid), _F32),
             jax.ShapeDtypeStruct((g.grid, c_mid, 1), _F32),
             jax.ShapeDtypeStruct((g.grid, c_dec, 1), _F32),
             jax.ShapeDtypeStruct((g.grid, c_out, 1), _F32),
         ),
-        scratch_shapes=[pltpu.VMEM((27 * _SUB, g.CH), gy.dtype),
-                        pltpu.VMEM((27 * _SUB, g.CH), d.dtype)],
+        scratch_shapes=[pltpu.VMEM((27 * sub, g.CH), gy.dtype),
+                        pltpu.VMEM((27 * sub, g.CH), d.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
@@ -422,7 +427,7 @@ def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
       b1.reshape(-1, 1).astype(_F32), w1.astype(x.dtype),
       w2.astype(x.dtype))
     dx, dwc_p, dw1_p, dw2t_p, db1_p, db2_p, dbc_p = outs
-    dwc_t = dwc_p.sum(axis=0).reshape(c_out, 27, _SUB)[:, :, :c_dec]
+    dwc_t = dwc_p.sum(axis=0).reshape(c_out, 27, sub)[:, :, :c_dec]
     dwc = jnp.transpose(dwc_t, (1, 2, 0)).reshape(3, 3, 3, c_dec, c_out)
     return (dx, dwc, dw1_p.sum(axis=0),
             db1_p.sum(axis=0)[:, 0], dw2t_p.sum(axis=0).T,

@@ -81,6 +81,36 @@ def test_gradient_parity(x5, blocks):
     assert worst < 1e-4, rel
 
 
+def test_wide_decay_channels(x5):
+    """c_dec > c_out exercises the channel-derived tap-piece stride
+    (the 64-filter reference model has c_dec=51 > 32)."""
+    r = np.random.default_rng(9)
+    mk = lambda *s: jnp.asarray(r.normal(0, 0.3, s), jnp.float32)
+    cdec = 12   # > C=8, not a multiple of 8 -> sub = 16
+    blocks = ((mk(C, CMID), mk(CMID), mk(CMID, cdec), mk(cdec),
+               mk(3, 3, 3, cdec, C), mk(C)),)
+
+    def ref(x, b):
+        (w1, b1, w2, b2, wc, bc) = b[0]
+        d = (jnp.maximum(x.reshape(-1, C) @ w1 + b1, 0.0) @ w2 + b2)
+        d = d.reshape(x.shape[:-1] + (cdec,))
+        return x + lax.conv_general_dilated(
+            d, wc, (1, 1, 1), "SAME", dimension_numbers=DIMS3) + bc
+
+    out = t_stack(x5, blocks)
+    expect = ref(x5, blocks)
+    assert float(jnp.abs(out - expect).max()) < \
+        2e-5 * float(jnp.abs(expect).max())
+    gt = jax.grad(lambda x, b: jnp.sum(jnp.sin(t_stack(x, b))),
+                  argnums=(0, 1))(x5, blocks)
+    gr = jax.grad(lambda x, b: jnp.sum(jnp.sin(ref(x, b))),
+                  argnums=(0, 1))(x5, blocks)
+    rel = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max() /
+                                          (jnp.abs(b).max() + 1e-8)),
+                       gt, gr)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-4, rel
+
+
 def test_adapters_roundtrip(x5):
     g = ts.make_geom(H, W, T, B, target_rows=18, target_ch=6)
     x2 = ts.to_t(x5, g)
