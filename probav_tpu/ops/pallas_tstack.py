@@ -135,12 +135,13 @@ def _divisor_near(n: int, target: int) -> int:
 
 def make_geom(H: int, W: int, T: int, B: int,
               target_rows: int = 363, target_ch: int = 33,
-              itemsize: int = 2) -> Geom:
-    """itemsize scales the tile down so f32 windows fit in VMEM."""
-    scale = max(1, itemsize // 2)
+              itemsize: int = 2, width: int = 32) -> Geom:
+    """itemsize and channel width scale the tile down so f32 and/or
+    wide-model (64-filter) windows fit in VMEM."""
+    scale = max(1, itemsize // 2) * max(1, width // 32)
     S = H * (W + 2) * (T + 2)
-    rows = _divisor_near(S, target_rows // scale)
-    ch_rows = _divisor_near(rows, target_ch // scale)
+    rows = _divisor_near(S, max(1, target_rows // scale))
+    ch_rows = _divisor_near(rows, max(1, target_ch // scale))
     return Geom(H, W, T, B, rows, ch_rows)
 
 
@@ -511,8 +512,8 @@ def from_t(x2d, g: Geom, b, h, w, t):
 def stack_apply_5d(x5d, blocks, target_rows: int = 363,
                    target_ch: int = 33):
     """Convenience: run the fused stack on a [B, H, W, T, C] batch."""
-    b, h, w, t, _ = x5d.shape
+    b, h, w, t, c = x5d.shape
     g = make_geom(h, w, t, b, target_rows, target_ch,
-                  itemsize=jnp.dtype(x5d.dtype).itemsize)
+                  itemsize=jnp.dtype(x5d.dtype).itemsize, width=c)
     out = fused_stack_t(g, to_t(x5d, g), blocks)
     return from_t(out, g, b, h, w, t)
