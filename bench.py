@@ -17,7 +17,7 @@ evidence: ``tools/bf16_convergence.py 800 --fused`` trains the identical
 flagship topology (f32 plain XLA vs bf16 fused) with the same
 seed/schedule on a synthetic SR task; the acceptance gate is final val
 cPSNR within 0.1 dB (result committed in BENCH_NOTES.md).  The fused f32
-and plain-XLA bf16 numbers are reported alongside.
+number is reported alongside (plain-XLA rates are in BENCH_NOTES.md).
 
 Baseline: the reference publishes no machine throughput (BASELINE.md), so
 ``vs_baseline`` uses a roofline ESTIMATE of the reference's GTX1080ti rate:
@@ -90,9 +90,54 @@ def measure(dtype_name: str, iters: int = 50,
     return batch / dt
 
 
+def measure_infer(dtype_name: str, fused_stack=False, iters: int = 40,
+                  scenes_per_call: int = 2) -> float:
+    """Scenes/sec of the FULL test-path forward — model + clip/round +
+    on-device 8x8 tile paste, exactly the resolver's grouped device call
+    (infer/resolver.py) at the flagship geometry (64 patches of 22^2 per
+    384^2 scene; the reference chunked 16 patches per GPU call,
+    /root/reference/test.py:103-134).
+
+    Times back-to-back dispatches and forces completion once at the end
+    (per-call host fetches over the tunneled backend carry 75-150 ms of
+    tunnel latency that is not framework cost; resolve_all overlaps them
+    with compute via double-buffering in production).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probav_tpu.config import Config
+    from probav_tpu.infer import Resolver
+    from probav_tpu.models import build_model
+
+    cfg = Config.from_file("cfg/p16t9c85r12.cfg")
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = build_model(cfg, "NIR", dtype=dtype, fused_stack=fused_stack)
+    rng = np.random.default_rng(0)
+    probe = rng.uniform(4000, 12000, (1, 22, 22, 9, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(probe))["params"]
+    resolver = Resolver(model, params, scene_size=384,
+                        scenes_per_call=scenes_per_call)
+    fn = resolver._group_fn(64, scenes_per_call)
+    flat = jax.device_put(rng.uniform(
+        4000, 12000,
+        (scenes_per_call * 64, 22, 22, 9, 1)).astype(np.float32))
+    out = fn(params, flat)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, flat)
+    jax.block_until_ready(out)
+    _ = float(jnp.asarray(out).ravel()[0])   # force queue drain (see measure)
+    dt = (time.perf_counter() - t0) / iters
+    return scenes_per_call / dt
+
+
 def main():
     fused_bf16 = measure("bf16", fused_stack="t")
     fused_f32 = measure("f32", fused_stack="t")
+    infer_bf16 = measure_infer("bf16", fused_stack="t")
     print(json.dumps({
         "metric":
             "train_patches_per_sec_1chip_p16t9c85r12_b128_bf16_tstack",
@@ -103,6 +148,8 @@ def main():
         "f32_tstack_patches_per_sec": round(fused_f32, 1),
         "f32_tstack_vs_baseline": round(
             fused_f32 / ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),
+        "infer_scenes_per_sec_bf16_tstack": round(infer_bf16, 1),
+        "infer_patches_per_sec_bf16_tstack": round(infer_bf16 * 64, 1),
     }))
 
 

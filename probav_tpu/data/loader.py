@@ -44,19 +44,33 @@ class Batcher:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
-    def epoch(self) -> Iterator[tuple]:
+    def epoch(self, skip: int = 0) -> Iterator[tuple]:
+        """One pass; ``skip`` drops the first batches WITHOUT materializing
+        them (the permutation is still drawn, so a resumed run sees the
+        exact remainder an uninterrupted run would)."""
         idx = (self._rng.permutation(self.n) if self.shuffle
                else np.arange(self.n))
         end = (self.n - self.n % self.batch_size
                if self.drop_remainder else self.n)
-        for start in range(0, end, self.batch_size):
+        for start in range(skip * self.batch_size, end, self.batch_size):
             take = idx[start:start + self.batch_size]
             yield tuple(a[take] for a in self.arrays)
 
-    def repeat(self, epochs: Optional[int] = None) -> Iterator[tuple]:
+    def skip_epochs(self, epochs: int) -> None:
+        """Advance the shuffle RNG past ``epochs`` whole epochs (draws and
+        discards their permutations) — the replay half of sample-accurate
+        resume."""
+        for _ in range(epochs):
+            if self.shuffle:
+                self._rng.permutation(self.n)
+
+    def repeat(self, epochs: Optional[int] = None,
+               skip: int = 0) -> Iterator[tuple]:
+        """``skip`` batches are dropped from the FIRST epoch only."""
         counter = range(epochs) if epochs is not None else itertools.count()
         for _ in counter:
-            yield from self.epoch()
+            yield from self.epoch(skip=skip)
+            skip = 0
 
 
 def prefetch_to_device(it: Iterable, size: int = 2, sharding=None,

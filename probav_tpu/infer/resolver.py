@@ -9,6 +9,16 @@ Rebuild of the reference test path (test.py:34-160):
   384x384 scene.  Optional test-time augmentation averages predictions over
   random temporal permutations (resolveBySampleAveraging, test.py:137-146).
 
+- Scene batching: when the model carries the production fused Pallas stack
+  (``fused_stack='t'``), a single 64-patch grid cannot fill the kernel's
+  128-lane groups — ``resolve_all`` therefore stacks as many scenes per
+  device call as alignment needs (2 x 64 = 128 for the flagship grid; a
+  ragged tail group is padded with a repeated scene and the extras
+  dropped), and the row-major tile paste runs ON DEVICE inside the same
+  jit, so the whole test path (forward + clip/round + reconstruct) is one
+  fused call per scene group.  Device calls are double-buffered so each
+  group's device->host fetch overlaps the next group's compute.
+
 - ``write_submission`` reproduces the submission numbering contract
   bit-for-bit: scene ids start at the band/split offset (test.py:79-90),
   ids listed in ``removedTrainSets<band>.txt`` are skipped, and images are
@@ -17,6 +27,8 @@ Rebuild of the reference test path (test.py:34-160):
 
 from __future__ import annotations
 
+import collections
+import math
 import os
 from typing import Iterable, List, Optional, Sequence
 
@@ -59,11 +71,15 @@ class Resolver:
     """
 
     def __init__(self, model, params, scene_size: int = 384,
-                 bit_depth: int = 16, mesh=None):
+                 bit_depth: int = 16, mesh=None,
+                 scenes_per_call: Optional[int] = None):
         self.model = model
         self.params = params
         self.scene_size = scene_size
+        self.mesh = mesh
+        self.scenes_per_call = scenes_per_call   # None = auto (alignment)
         self.clip_max = float(2 ** bit_depth)   # test.py:118 clips to 2**16
+        self._group_fns = {}                     # (P, G) -> jitted fn
 
         def _resolve_fn(params, patches):
             pred = model.apply({"params": params}, patches.astype(jnp.float32))
@@ -80,15 +96,79 @@ class Resolver:
                               batch_sharding(mesh)),
                 out_shardings=batch_sharding(mesh))
 
+        fused = getattr(model, "fused_stack", None) == "t"
+
         @jax.jit
         def _resolve_mean(params, patches_stack):
             # patches_stack: [R, P, h, w, T, C] -> mean over R repeats.
-            preds = jax.vmap(lambda p: model.apply(
-                {"params": params}, p.astype(jnp.float32)))(patches_stack)
+            r, p = patches_stack.shape[:2]
+            x = patches_stack.astype(jnp.float32)
+            if fused and (r * p) % 128 == 0 and p % 128 != 0:
+                # Flatten the (repeats, patches) axes and re-chunk into
+                # 128-lane groups so the TTA forward also takes the fused
+                # Pallas stack; lax.map compiles one body, runs chunks
+                # sequentially (bounded memory).
+                flat = x.reshape((r * p,) + x.shape[2:])
+                chunks = flat.reshape(((r * p) // 128, 128) + x.shape[2:])
+                preds = jax.lax.map(
+                    lambda q: model.apply({"params": params}, q), chunks)
+                preds = preds.reshape((r, p) + preds.shape[2:])
+            else:
+                preds = jax.vmap(lambda q: model.apply(
+                    {"params": params}, q))(x)
             preds = jnp.round(jnp.clip(preds, 0.0, self.clip_max))
             return jnp.mean(preds, axis=0)
 
         self._resolve_mean = _resolve_mean
+
+    # -- scene batching for the fused kernel tier ------------------------ #
+
+    def _auto_group(self, num_patches: int) -> int:
+        """Scenes per device call: smallest count whose combined patch
+        grid fills whole 128-lane groups per data shard (the fused
+        stack's alignment contract, models/wdsr.py), else 1."""
+        if self.scenes_per_call is not None:
+            return max(1, self.scenes_per_call)
+        if getattr(self.model, "fused_stack", None) != "t":
+            return 1
+        shards = 1
+        model_mesh = getattr(self.model, "mesh", None)
+        if model_mesh is not None and "data" in model_mesh.shape:
+            shards = model_mesh.shape["data"]
+        need = 128 * shards
+        return math.lcm(need, num_patches) // num_patches
+
+    def _group_fn(self, num_patches: int, group: int):
+        """Jitted (params, [G*P, h, w, T, C]) -> [G, S, S, C]: forward +
+        clip/round + on-device row-major tile paste (test.py:114-122 and
+        149-160 in one compiled call)."""
+        key = (num_patches, group)
+        if key in self._group_fns:
+            return self._group_fns[key]
+        model, scene, clip_max = self.model, self.scene_size, self.clip_max
+
+        def fn(params, patches):
+            pred = model.apply({"params": params},
+                               patches.astype(jnp.float32))
+            pred = jnp.round(jnp.clip(pred, 0.0, clip_max))
+            gp, p, _, c = pred.shape
+            grid = scene // p
+            x = pred.reshape(group, grid, grid, p, p, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5)
+            return x.reshape(group, scene, scene, c)
+
+        if self.mesh is None:
+            jitted = jax.jit(fn)
+        else:
+            from probav_tpu.parallel import (batch_sharding,
+                                             replicated_sharding)
+            jitted = jax.jit(
+                fn,
+                in_shardings=(replicated_sharding(self.mesh),
+                              batch_sharding(self.mesh)),
+                out_shardings=replicated_sharding(self.mesh))
+        self._group_fns[key] = jitted
+        return jitted
 
     def resolve_scene(self, patches: np.ndarray) -> np.ndarray:
         """[P, h, w, T, C] patches -> [scene, scene, 1] uint-valued float."""
@@ -107,17 +187,58 @@ class Resolver:
 
     def resolve_all(self, all_patches, progress: bool = True,
                     tta: bool = False) -> List[np.ndarray]:
-        """[S, P, h, w, T, C] -> list of S scenes (test.py:103-111)."""
-        scenes = range(len(all_patches))
+        """[S, P, h, w, T, C] -> list of S scenes (test.py:103-111).
+
+        Non-TTA scenes go through the grouped device call (scene batching
+        + on-device reconstruction, see class docstring); device calls are
+        double-buffered so the fetch of group i overlaps the compute of
+        group i+1.
+        """
+        n = len(all_patches)
+        if tta:
+            scenes = range(n)
+            if progress:
+                try:
+                    from tqdm import tqdm
+                    scenes = tqdm(scenes, desc="[ INFO ] Resolving scenes")
+                except Exception:
+                    pass
+            return [self.resolve_scene_tta(
+                np.asarray(all_patches[i], dtype=np.float32))
+                for i in scenes]
+
+        num_patches = all_patches.shape[1] if hasattr(all_patches, "shape") \
+            else len(all_patches[0])
+        group = min(self._auto_group(num_patches), max(1, n))
+        fn = self._group_fn(num_patches, group)
+        starts = range(0, n, group)
         if progress:
             try:
                 from tqdm import tqdm
-                scenes = tqdm(scenes, desc="[ INFO ] Resolving scenes")
+                starts = tqdm(starts, desc="[ INFO ] Resolving scenes")
             except Exception:
                 pass
-        fn = self.resolve_scene_tta if tta else self.resolve_scene
-        return [fn(np.asarray(all_patches[i], dtype=np.float32))
-                for i in scenes]
+
+        out: List[np.ndarray] = []
+        pending = collections.deque()   # (device_scenes, true_count)
+
+        def drain():
+            dev, true_n = pending.popleft()
+            out.extend(np.asarray(dev)[:true_n])
+
+        for i in starts:
+            chunk = np.asarray(all_patches[i:i + group], dtype=np.float32)
+            true_n = len(chunk)
+            if true_n < group:   # ragged tail: pad with the last scene
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], group - true_n, axis=0)])
+            flat = jnp.asarray(chunk.reshape((-1,) + chunk.shape[2:]))
+            pending.append((fn(self.params, flat), true_n))
+            if len(pending) > 1:
+                drain()
+        while pending:
+            drain()
+        return out
 
 
 def write_submission(scenes: Sequence[np.ndarray], out_dir: str, band: str,

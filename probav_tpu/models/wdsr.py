@@ -189,6 +189,15 @@ class WDSRConv3D(nn.Module):
                    ((x.shape[0] // shards) % 128 == 0 or
                     pallas_tstack.INTERPRET))
         use_t = self.fused_stack == "t" and aligned
+        if self.fused_stack == "t" and not aligned and x.shape[0] > 1:
+            # Loud fallback (batch 1 is model.init's probe — stay quiet).
+            import logging
+            logging.getLogger("probav_tpu.models").warning(
+                "fused_stack='t' requested but batch %d over %d data "
+                "shard(s) does not fill whole 128-lane groups; this "
+                "compilation falls back to the plain XLA stack (~40%% "
+                "slower). Use a global batch of 128 x data-shards.",
+                x.shape[0], shards)
         if use_t:
             # Transposed fully-fused stack (ops/pallas_tstack.py): one
             # custom_vjp, activations in XLA's batch-minor orientation,
@@ -378,6 +387,13 @@ def build_model(cfg, band: str, model_type: str = "wdsr",
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size
     expands to a cube, mean/std come from the band's dataset statistics.
+
+    Kernel tiers: ``fused_stack='t'`` (the transposed Pallas stack) is the
+    ONLY production tier — measured fastest at every tested width/dtype
+    (BENCH_NOTES.md).  ``fused_block=True`` and ``fused_stack=True`` (flat)
+    are retained as measured-losing archive paths documenting the round-1/2
+    kernel iterations; selecting them is a deliberate benchmark-replay
+    action, not a production configuration.
     """
     if model_type == "fusenet":
         return FuseNetConv2D(dtype=dtype)

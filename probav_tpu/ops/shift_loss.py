@@ -131,12 +131,7 @@ class ShiftCompensatedLosses:
         val = 10.0 * (jnp.log(self.num_bytes ** 2 / l2) / jnp.log(10.0))
         return jnp.max(val, axis=0)
 
-    def l1_edge(self, hr, mask, pred):
-        """shiftCompensatedL1EdgeLoss (loss.py:86-97, 219-224): scalar.
-
-        pi * masked L1 + (1-pi) * L1 between Sobel edge maps of the unmasked
-        truth crop and the corrected masked prediction.
-        """
+    def _per_shift_l1_edge(self, hr, mask, pred):
         hr_s, _, corr, total = self._corrected(hr, mask, pred)
         s, b = hr_s.shape[:2]
         flat = lambda x: x.reshape((s * b,) + x.shape[2:])
@@ -144,7 +139,15 @@ class ShiftCompensatedLosses:
         sob_sr = sobel_edges(flat(corr)).reshape(corr.shape + (2,))
         l1 = jnp.sum(jnp.abs(hr_s - corr), axis=(2, 3, 4)) / total
         sob = jnp.sum(jnp.abs(sob_hr - sob_sr), axis=(2, 3, 4, 5)) / total
-        per_shift = self.pi * l1 + (1.0 - self.pi) * sob
+        return self.pi * l1 + (1.0 - self.pi) * sob                   # [S,B]
+
+    def l1_edge(self, hr, mask, pred):
+        """shiftCompensatedL1EdgeLoss (loss.py:86-97, 219-224): scalar.
+
+        pi * masked L1 + (1-pi) * L1 between Sobel edge maps of the unmasked
+        truth crop and the corrected masked prediction.
+        """
+        per_shift = self._per_shift_l1_edge(hr, mask, pred)
         return jnp.mean(jnp.min(per_shift, axis=0))
 
     def rev_msssim(self, hr, mask, pred):
@@ -214,6 +217,26 @@ class ShiftCompensatedLosses:
         """Cfg loss-key dispatch (train.py:93-100)."""
         table = {"l1": self.l1, "sobel_l1_mix": self.l1_edge,
                  "l2": self.l2, "l1msssim": self.rev_msssim}
+        return table[name]
+
+    def per_sample(self, name: str):
+        """Per-sample [B] variant of a loss (min over shifts, no batch
+        mean), or None when the loss is inherently batch-coupled
+        (rev_msssim normalizes luminance over the whole batch,
+        loss.py:207-216).  ``mean(per_sample(...)) == by_name(...)``
+        exactly; the trainer uses this to weight out padded validation
+        rows (ModelTrainer eval_step)."""
+
+        def reduce(per_shift_fn):
+            return lambda hr, mask, pred: jnp.min(
+                per_shift_fn(hr, mask, pred), axis=0)
+
+        table = {
+            "l1": reduce(lambda h, m, p: self._maybe_pallas("l1", h, m, p)),
+            "l2": reduce(lambda h, m, p: self._maybe_pallas("l2", h, m, p)),
+            "sobel_l1_mix": reduce(self._per_shift_l1_edge),
+            "l1msssim": None,
+        }
         return table[name]
 
 

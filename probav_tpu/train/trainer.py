@@ -59,9 +59,22 @@ class ModelTrainer:
                  optimizer: optax.GradientTransformation,
                  ckpt_dir: str, log_dir: str,
                  eval_step: int = 1000, mesh=None,
-                 tensor_parallel: bool = True, log_every: int = 20):
+                 tensor_parallel: bool = True, log_every: int = 20,
+                 loss_per_sample_fn: Optional[Callable] = None):
+        if (mesh is not None and tensor_parallel
+                and mesh.shape.get("model", 1) > 1
+                and getattr(model, "fused_stack", None) == "t"):
+            raise ValueError(
+                "fused_stack='t' runs the WDSR-B stack under shard_map "
+                "with REPLICATED block weights; sharding those weights "
+                "over the 'model' axis (tensor parallelism) does not "
+                "compose with it. Use --mesh-model 1, or pass "
+                "tensor_parallel=False, or drop --fused-stack t.")
         self.model = model
         self.loss_fn = loss_fn
+        # Optional per-sample [B] sibling of loss_fn (mean == loss_fn);
+        # lets eval weight out padded rows exactly (see eval_step).
+        self.loss_ps_fn = loss_per_sample_fn
         self.metric_fn = metric_fn
         self.tx = optimizer
         self.mesh = mesh
@@ -154,14 +167,22 @@ class ModelTrainer:
                                    step=state.step + 1)
             return new_state, loss, metric
 
+        loss_ps_fn = self.loss_ps_fn
+
         def eval_step(state: TrainState, lr, hr, mask, w):
             """w: [B] per-sample weights — 0 marks padded rows, so the
             metric (which gates save-best checkpointing) is exact even when
             a ragged final val batch is wrap-padded for mesh divisibility.
-            The loss stays the batch-lumped loss_fn (opaque scalar)."""
+            The loss uses the per-sample sibling of loss_fn when one exists
+            (exact too); only a batch-coupled loss (rev_msssim) falls back
+            to the lumped scalar, down-weighted after the fact."""
             pred = model.apply({"params": state.params}, lr)
             metric = jnp.sum(metric_fn(hr, mask, pred) * w) / jnp.sum(w)
-            return loss_fn(hr, mask, pred), metric
+            if loss_ps_fn is not None:
+                loss = jnp.sum(loss_ps_fn(hr, mask, pred) * w) / jnp.sum(w)
+            else:
+                loss = loss_fn(hr, mask, pred)
+            return loss, metric
 
         if self.mesh is None:
             self._jit_train = jax.jit(train_step, donate_argnums=0)
@@ -206,8 +227,15 @@ class ModelTrainer:
 
         total_steps = max(1, len(x) // batch_size)
         global_step = int(self.state.step)
-        step = global_step % total_steps
-        epoch = init_epoch
+        # Sample-accurate resume (parity with fit_device): `epochs` is the
+        # TOTAL target, a restored run replays the permutation draws of
+        # completed epochs and skips the consumed batches of the current
+        # one, so interrupted and uninterrupted runs see identical streams
+        # (reference semantics: step-derived epochs, trainClass.py:75-96).
+        done_epochs = min(global_step // total_steps, epochs)
+        step = global_step - done_epochs * total_steps
+        epoch = init_epoch + done_epochs
+        train_batcher.skip_epochs(done_epochs)
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
 
         train_loss, train_psnr = Mean("trainLoss"), Mean("trainPSNR")
@@ -216,8 +244,9 @@ class ModelTrainer:
         seen = 0
 
         logger.info("[ INFO ] Begin training...")
-        stream = prefetch_to_device(train_batcher.repeat(epochs),
-                                    sharding=sharding)
+        stream = prefetch_to_device(
+            train_batcher.repeat(epochs - done_epochs, skip=step),
+            sharding=sharding)
         for lr_b, hr_b, mask_b in stream:
             if (total_steps - step) == 0:
                 epoch += 1

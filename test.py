@@ -31,6 +31,13 @@ def parse_args():
     p.add_argument("--tta", action="store_true")
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard each scene's patch grid over N chips")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype for the forward (faster; "
+                        "default f32 keeps submissions bit-identical)")
+    p.add_argument("--fused-stack", choices=["off", "t"], default="off",
+                   help="'t' = the production fused Pallas stack; the "
+                        "resolver batches scenes per device call to reach "
+                        "its 128-lane alignment")
     return p.parse_args()
 
 
@@ -62,14 +69,19 @@ def main():
     patches = np.asarray(patches, dtype=np.float32).transpose(0, 1, 4, 5, 2, 3)
 
     logger.info("[ INFO ] Building model...")
-    model = build_model(cfg, opt.band)
-    params = restore_params(cfg.ckpt_dir(opt.band))
-
-    scene = cfg.patch_size * cfg.scale * int(np.sqrt(patches.shape[1]))
+    import jax.numpy as jnp
     mesh = None
     if opt.mesh_data:
         from probav_tpu.parallel import make_mesh
         mesh = make_mesh(num_data=opt.mesh_data, num_model=1)
+    fused = "t" if opt.fused_stack == "t" else False
+    model = build_model(cfg, opt.band,
+                        dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
+                        fused_stack=fused,
+                        mesh=mesh if fused else None)
+    params = restore_params(cfg.ckpt_dir(opt.band))
+
+    scene = cfg.patch_size * cfg.scale * int(np.sqrt(patches.shape[1]))
     resolver = Resolver(model, params, scene_size=scene, mesh=mesh)
     logger.info("[ INFO ] Generating predictions...")
     scenes = resolver.resolve_all(patches, tta=opt.tta)

@@ -238,6 +238,60 @@ class TestFullESAGeometry:
         assert os.path.basename(written[0]) == "imgset1306.png"
 
 
+class TestGroupedFusedResolver:
+    def test_grouped_resolve_matches_per_scene(self, rng):
+        """Scene batching (fused-tier alignment path): grouped device
+        calls with on-device reconstruction + a padded ragged tail must
+        reproduce the per-scene plain path."""
+        import jax
+        import probav_tpu.ops.pallas_tstack as ts
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver
+
+        kw = dict(scale=3, num_filters=8, num_res_blocks=2, exp_rate=4,
+                  decay_rate=0.8, num_img_lr=9, patch_size_lr=16,
+                  mean=100.0, std=50.0)
+        plain = WDSRConv3D(**kw)
+        fused = WDSRConv3D(fused_stack="t", **kw)
+        # 3 scenes of 4 patches (2x2 grid of 48^2 -> 96^2 scenes)
+        patches = rng.uniform(50, 150, (3, 4, 22, 22, 9, 1)).astype(np.float32)
+        params = plain.init(jax.random.PRNGKey(0), patches[0][:1])["params"]
+
+        ref = Resolver(plain, params, scene_size=96)
+        expect = [ref.resolve_scene(p) for p in patches]
+
+        # plain model: auto group is 1 and results are exact
+        got_plain = ref.resolve_all(patches, progress=False)
+        assert len(got_plain) == 3
+        for a, b in zip(got_plain, expect):
+            np.testing.assert_array_equal(a, b)
+
+        # grouped plain model (forced group 2, ragged tail of 1)
+        ref2 = Resolver(plain, params, scene_size=96, scenes_per_call=2)
+        got2 = ref2.resolve_all(patches, progress=False)
+        for a, b in zip(got2, expect):
+            np.testing.assert_allclose(a, b, atol=1.0)
+
+        # fused model through the interpreter: the 128-lane auto group
+        # rule, then a forced small group exercising the Pallas stack
+        fr = Resolver(fused, params, scene_size=96)
+        assert fr._auto_group(4) == 32    # lcm(128, 4) / 4
+        assert fr._auto_group(64) == 2    # the flagship 8x8 grid
+        assert fr._auto_group(128) == 1
+        old = ts.INTERPRET
+        ts.INTERPRET = True
+        try:
+            fr.scenes_per_call = 2
+            got_f = fr.resolve_all(patches, progress=False)
+        finally:
+            ts.INTERPRET = old
+        assert len(got_f) == 3
+        for a, b in zip(got_f, expect):
+            # fused kernels differ in reduction order; after round() the
+            # largest admissible step is one grey level
+            np.testing.assert_allclose(a, b, atol=1.0)
+
+
 class TestMeshResolver:
     def test_sharded_inference_matches_single_device(self, rng):
         """Multi-chip serving: the 64-patch grid sharded over 4 chips must

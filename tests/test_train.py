@@ -19,7 +19,8 @@ def tiny_setup(tmp_path, mesh=None, num_filters=4, blocks=1):
     trainer = ModelTrainer(model, losses.l1, losses.cpsnr, tx,
                            ckpt_dir=str(tmp_path / "ckpt"),
                            log_dir=str(tmp_path / "logs"),
-                           eval_step=2, mesh=mesh, log_every=1)
+                           eval_step=2, mesh=mesh, log_every=1,
+                           loss_per_sample_fn=losses.per_sample("l1"))
     return model, trainer
 
 
@@ -147,15 +148,16 @@ class TestTrainerMesh:
         _, l2_, _ = t2._jit_train(t2.state, x, hr, mask)
         np.testing.assert_allclose(float(l1_), float(l2_), rtol=1e-5)
 
-    def test_padded_val_metric_is_exact(self, tmp_path, rng):
+    def test_padded_val_metric_and_loss_are_exact(self, tmp_path, rng):
         # A ragged final val batch is wrap-padded for mesh divisibility;
-        # the padded rows must NOT bias the metric that gates save-best.
+        # the padded rows must NOT bias the metric that gates save-best,
+        # nor the logged loss (per-sample weighted via per_sample("l1")).
         x, hr, mask = tiny_data(rng, n=10)   # batch 8 -> batches of 8 and 2
         _, t1 = tiny_setup(tmp_path / "a")
         t1.init_state(x[:1], rng_seed=3)
         t1._build_steps()
         b1 = Batcher((x, hr, mask), 8, seed=0, drop_remainder=False)
-        _, ref_psnr = t1.evaluate(b1, val_steps=4)
+        ref_loss, ref_psnr = t1.evaluate(b1, val_steps=4)
 
         mesh = make_mesh(num_data=8, num_model=1)
         _, t2 = tiny_setup(tmp_path / "b", mesh=mesh)
@@ -163,9 +165,30 @@ class TestTrainerMesh:
         t2._build_steps()
         b2 = Batcher((x, hr, mask), 8, seed=0, drop_remainder=False)
         from probav_tpu.parallel.mesh import batch_sharding
-        _, mesh_psnr = t2.evaluate(b2, val_steps=4,
-                                   sharding=batch_sharding(mesh))
+        mesh_loss, mesh_psnr = t2.evaluate(b2, val_steps=4,
+                                           sharding=batch_sharding(mesh))
         np.testing.assert_allclose(mesh_psnr, ref_psnr, rtol=1e-5)
+        np.testing.assert_allclose(mesh_loss, ref_loss, rtol=1e-5)
+
+    def test_fused_stack_tensor_parallel_guarded(self, tmp_path):
+        # fused_stack='t' + model-axis sharding is undefined; the trainer
+        # must refuse the combination loudly instead of silently
+        # all-gathering per step.
+        mesh = make_mesh(num_data=4, num_model=2)
+        model = WDSRConv3D(num_filters=4, num_res_blocks=1, exp_rate=2,
+                           mean=0.0, std=1.0, fused_stack="t", mesh=mesh)
+        losses = ShiftCompensatedLosses((48, 48, 1))
+        with pytest.raises(ValueError, match="tensor parallel"):
+            ModelTrainer(model, losses.l1, losses.cpsnr,
+                         build_optimizer("nadam", 1e-3),
+                         ckpt_dir=str(tmp_path / "c"),
+                         log_dir=str(tmp_path / "l"), mesh=mesh)
+        # data-parallel-only mesh is fine
+        dp = make_mesh(num_data=8, num_model=1)
+        ModelTrainer(model, losses.l1, losses.cpsnr,
+                     build_optimizer("nadam", 1e-3),
+                     ckpt_dir=str(tmp_path / "c2"),
+                     log_dir=str(tmp_path / "l2"), mesh=dp)
 
     def test_param_shardings_rules(self, rng):
         mesh = make_mesh(num_data=4, num_model=2)
@@ -296,6 +319,74 @@ class TestFitDeviceResume:
         tb2.fit_device(x, [hr, mask], batch_size=8, epochs=4,
                        val_data=[x, hr, mask], val_steps=1,
                        save_best_only=False, seed=77)
+        for a, b in zip(jax.tree.leaves(ta.state.params),
+                        jax.tree.leaves(tb2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+
+
+class TestFitResume:
+    def test_streamed_fit_resume_matches_uninterrupted_run(self, tmp_path):
+        # Streamed `fit` resume must be SAMPLE-accurate, mirroring
+        # fit_device: interrupt after 2 of 4 epochs, restore into a fresh
+        # trainer, finish — final params must equal the uninterrupted
+        # run's (the epoch permutations are replayed, consumed batches
+        # skipped, and `epochs` is the total target, not an increment).
+        x, hr, mask = tiny_data(np.random.default_rng(29), n=16)
+        _, ta = tiny_setup(tmp_path / "a")
+        ta.init_state(x[:1], rng_seed=9)
+        ta.fit(x, [hr, mask], batch_size=8, epochs=4,
+               val_data=[x, hr, mask], val_steps=1,
+               save_best_only=False, seed=77)
+        assert int(ta.state.step) == 8
+
+        _, tb = tiny_setup(tmp_path / "b")
+        tb.init_state(x[:1], rng_seed=9)
+        tb.fit(x, [hr, mask], batch_size=8, epochs=2,
+               val_data=[x, hr, mask], val_steps=1,
+               save_best_only=False, seed=77)
+        assert int(tb.state.step) == 4
+        _, tb2 = tiny_setup(tmp_path / "b")   # same ckpt_dir -> auto-resume
+        tb2.init_state(x[:1], rng_seed=9)
+        assert int(tb2.state.step) == 4
+        res = tb2.fit(x, [hr, mask], batch_size=8, epochs=4,
+                      val_data=[x, hr, mask], val_steps=1,
+                      save_best_only=False, seed=77)
+        assert res["steps"] == 8   # total target, not 4 more epochs
+        for a, b in zip(jax.tree.leaves(ta.state.params),
+                        jax.tree.leaves(tb2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_mid_epoch_resume_skips_consumed_batches(self, tmp_path):
+        # Resume from a checkpoint that lands mid-epoch (step 2 of a
+        # 4-step epoch): the restarted run must continue with batch 3 of
+        # THAT epoch's permutation, not redraw a fresh epoch.
+        x, hr, mask = tiny_data(np.random.default_rng(41), n=32)  # 4 steps
+        _, ta = tiny_setup(tmp_path / "a")
+        ta.init_state(x[:1], rng_seed=2)
+        ta.fit(x, [hr, mask], batch_size=8, epochs=2,
+               val_data=[x, hr, mask], val_steps=1,
+               save_best_only=False, seed=13)
+        assert int(ta.state.step) == 8
+
+        # eval_step=2 -> checkpoints at steps 2 (mid-epoch), 4, 6, 8.
+        _, tb = tiny_setup(tmp_path / "b")
+        tb.init_state(x[:1], rng_seed=2)
+        tb._build_steps()
+        from probav_tpu.data.loader import Batcher as B
+        batcher = B((x, hr, mask), 8, seed=13)
+        for lr_b, hr_b, mask_b in list(batcher.epoch())[:2]:
+            tb.state, _, _ = tb._jit_train(tb.state, lr_b, hr_b, mask_b)
+        tb.save()
+        assert int(tb.state.step) == 2
+
+        _, tb2 = tiny_setup(tmp_path / "b")
+        tb2.init_state(x[:1], rng_seed=2)
+        assert int(tb2.state.step) == 2
+        tb2.fit(x, [hr, mask], batch_size=8, epochs=2,
+                val_data=[x, hr, mask], val_steps=1,
+                save_best_only=False, seed=13)
         for a, b in zip(jax.tree.leaves(ta.state.params),
                         jax.tree.leaves(tb2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -152,6 +152,21 @@ def test_model_fused_stack_t_mesh():
     scale = float(jnp.abs(out_p).max())
     assert float(jnp.abs(out_p - out_f).max()) < 1e-4 * scale
 
+    # Gradient parity under the mesh: shard_map with replicated weight
+    # specs + check_vma=False is exactly where silent gradient-scaling
+    # bugs would live (cf. the reference's per-replica loss scaling,
+    # debug/trainClassMultiGPU.py:134-142) — the full param gradient of
+    # the sharded fused model must match the single-device plain path.
+    def loss(m, p, xx):
+        return jnp.mean(jnp.square(m.apply({"params": p}, xx) / 100.0))
+
+    gp = jax.grad(lambda p: loss(plain, p, x))(params)
+    gf = jax.jit(jax.grad(lambda p: loss(fused, p, xs)))(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() /
+                           (jnp.abs(a).max() + 1e-8)), gp, gf)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-3, rel
+
 
 def test_model_fused_stack_t_parity():
     """WDSRConv3D(fused_stack='t') matches the plain path with the SAME

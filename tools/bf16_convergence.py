@@ -14,7 +14,13 @@ curves.  Acceptance: final val cPSNR within 0.1 dB.
 The task is learnable and SR-shaped: LR frames are sub-shifted noisy copies
 of a base field; HR is the 3x upsampled base.  Usage:
 
-    python tools/bf16_convergence.py [steps] [--json out.json]
+    python tools/bf16_convergence.py [steps] [--fused] [--filters 64]
+        [--isolate-kernel] [--json out.json]
+
+``--filters 64`` runs the reference's best-scoring topology
+(/root/reference/README.md:213: 0.9411, 64 filters -> c_mid=512, c_dec=51);
+``--isolate-kernel`` adds a bf16-plain-XLA arm so kernel-induced drift is
+separated from dtype-induced drift.
 """
 
 import json
@@ -62,7 +68,8 @@ def make_dataset(rng, n_scenes=600, patch=16, shift=6, t=9, scale=3,
     return lrs, np.clip(hrs, 0, 65535), masks
 
 
-def run_one(dtype_name, data, steps, seed=11, fused_stack=False):
+def run_one(dtype_name, data, steps, seed=11, fused_stack=False,
+            num_filters=32):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,7 +85,7 @@ def run_one(dtype_name, data, steps, seed=11, fused_stack=False):
     mt, mv = masks[n_val:], masks[:n_val]
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-    model = WDSRConv3D(scale=3, num_filters=32, num_res_blocks=12,
+    model = WDSRConv3D(scale=3, num_filters=num_filters, num_res_blocks=12,
                        exp_rate=8, decay_rate=0.8, num_img_lr=9,
                        patch_size_lr=16, mean=8075.2045, std=3160.7272,
                        dtype=dtype, fused_stack=fused_stack)
@@ -119,11 +126,24 @@ def main():
     print("building dataset...", flush=True)
     data = make_dataset(rng)
     fused = "t" if "--fused" in sys.argv else False
-    out = [run_one("f32", data, steps),
-           run_one("bf16", data, steps, fused_stack=fused)]
+    filters = 32
+    if "--filters" in sys.argv:   # 64 = the reference's best-scoring model
+        filters = int(sys.argv[sys.argv.index("--filters") + 1])
+    out = [run_one("f32", data, steps, num_filters=filters),
+           run_one("bf16", data, steps, fused_stack=fused,
+                   num_filters=filters)]
     delta = abs(out[0]["val_cpsnr"] - out[1]["val_cpsnr"])
     result = {"f32": out[0], "bf16": out[1],
-              "delta_db": round(delta, 4), "pass_0.1db": delta <= 0.1}
+              "delta_db": round(delta, 4), "pass_0.1db": delta <= 0.1,
+              "filters": filters}
+    if fused and "--isolate-kernel" in sys.argv:
+        # Third arm isolating the kernel from the dtype: bf16 PLAIN XLA
+        # vs bf16 fused — any drift here is the kernel's alone.
+        extra = run_one("bf16", data, steps, fused_stack=False,
+                        num_filters=filters)
+        result["bf16_plain"] = extra
+        result["kernel_delta_db"] = round(
+            abs(extra["val_cpsnr"] - out[1]["val_cpsnr"]), 4)
     print(json.dumps(result))
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]

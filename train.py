@@ -41,9 +41,14 @@ def parse_args():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fused-stack", choices=["off", "flat", "t"],
                    default="off",
-                   help="WDSR-B block-stack kernel tier: 't' = the "
-                        "transposed fused Pallas stack (fastest on TPU; "
-                        "single-chip, batch a multiple of 128)")
+                   help="WDSR-B block-stack kernel tier. 't' is the ONLY "
+                        "production tier (transposed fused Pallas stack; "
+                        "needs the per-shard batch to be a multiple of 128, "
+                        "i.e. global batch = 128 x --mesh-data, else it "
+                        "falls back to plain XLA with a warning; composes "
+                        "with data parallelism only, not --mesh-model > 1). "
+                        "'flat' is a measured-losing archive path kept for "
+                        "benchmark records — do not ship it.")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
@@ -80,6 +85,7 @@ def patch_net(cfg, opt):
     mesh = None
     if opt.mesh_data:
         mesh = make_mesh(num_data=opt.mesh_data, num_model=opt.mesh_model)
+        logger.info("[ INFO ] Mesh: %s", dict(mesh.shape))
 
     logger.info("[ INFO ] Building model...")
     model_type = "iwdsr" if opt.modelType == "iwdsr" else "wdsr"
@@ -100,15 +106,11 @@ def patch_net(cfg, opt):
     losses = ShiftCompensatedLosses(target_shape=(target, target, 1))
     loss_fn = losses.by_name(cfg.loss)
 
-    mesh = None
-    if opt.mesh_data:
-        mesh = make_mesh(num_data=opt.mesh_data, num_model=opt.mesh_model)
-        logger.info("[ INFO ] Mesh: %s", dict(mesh.shape))
-
     trainer = ModelTrainer(
         model, loss_fn, losses.cpsnr, tx,
         ckpt_dir=cfg.ckpt_dir(opt.band), log_dir=cfg.log_dir(opt.band),
-        eval_step=opt.eval_step, mesh=mesh)
+        eval_step=opt.eval_step, mesh=mesh,
+        loss_per_sample_fn=losses.per_sample(cfg.loss))
     trainer.init_state(x_train[:1])
 
     if opt.device_data:
@@ -148,7 +150,8 @@ def fusion_net(cfg, opt):
     losses = ShiftCompensatedLosses(target_shape=(size, size, 1))
     tx = build_optimizer(cfg.optimizer, cfg.learning_rate)
     trainer = ModelTrainer(model, losses.l1, losses.cpsnr, tx,
-                           ckpt_dir="fuseNetCkpt", log_dir="fuseNetLogs")
+                           ckpt_dir="fuseNetCkpt", log_dir="fuseNetLogs",
+                           loss_per_sample_fn=losses.per_sample("l1"))
     trainer.init_state(np.asarray(x_tr[:1], np.float32))
     trainer.fit(np.asarray(x_tr, np.float32),
                 [np.asarray(y_tr, np.float32),
