@@ -249,6 +249,7 @@ def seg_fwd(g: Geom, x, imask, w1, b1, w2, b2):
         out_shape=jax.ShapeDtypeStruct((c_dec, g.ext), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
+        name="tstack_seg_fwd",
         interpret=INTERPRET,
     )(x, imask, w1.T.astype(x.dtype), b1.reshape(-1, 1).astype(_F32),
       w2.T.astype(x.dtype), b2.reshape(-1, 1).astype(_F32))
@@ -301,6 +302,7 @@ def conv_fwd(g: Geom, d, x, wc, bc, imask):
         scratch_shapes=[pltpu.VMEM((27 * sub, g.CH), d.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
+        name="tstack_conv_fwd",
         interpret=INTERPRET,
     )(d, x, imask, wcat, bc.reshape(-1, 1).astype(_F32))
 
@@ -423,6 +425,7 @@ def blk_bwd(g: Geom, gy, d, x, wc, w1, b1, w2, imask):
                         pltpu.VMEM((27 * sub, g.CH), d.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
+        name="tstack_blk_bwd",
         interpret=INTERPRET,
     )(gy, d, x, imask, wdd, w1.T.astype(x.dtype),
       b1.reshape(-1, 1).astype(_F32), w1.astype(x.dtype),

@@ -69,10 +69,13 @@ def main():
         (rng.uniform(size=(batch, 48, 48, 1)) > 0.15).astype(np.float32))
 
     for variant in sys.argv[1:] or ["plain_f32", "stack_f32"]:
+        # variant grammar: {plain|stack|tstack}_{f32|bf16};
+        # 'tstack' = the production transposed fused tier ('t').
+        fused = "t" if "tstack" in variant else ("stack" in variant)
         model = build_model(cfg, "NIR",
                             dtype=(jnp.bfloat16 if "bf16" in variant
                                    else jnp.float32),
-                            fused_stack=("stack" in variant))
+                            fused_stack=fused)
         tx = optax.nadam(cfg.learning_rate)
         params = model.init(jax.random.PRNGKey(0), x)["params"]
         opt_state = tx.init(params)
