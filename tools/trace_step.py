@@ -77,7 +77,10 @@ def main():
                                    else jnp.float32),
                             fused_stack=fused)
         tx = optax.nadam(cfg.learning_rate)
-        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        # init on a batch-1 probe: identical param tree, but the odd batch
+        # takes the plain path so the 36 fused kernels aren't each compiled
+        # EAGERLY here (that cost >14 min for fused_stack='t').
+        params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
         opt_state = tx.init(params)
 
         def step(p, o, xx, h, m):
