@@ -455,6 +455,16 @@ class ModelTrainer:
         src = itertools.islice(val_batcher.epoch(), val_steps)
         counts: list = []   # true sample counts, parallel to the stream
 
+        # Pad ragged batches when (a) a mesh needs 'data'-axis
+        # divisibility, or (b) the model runs the fused Pallas tier —
+        # keeping the remainder batch at the full size keeps it inside the
+        # kernels' 128-lane alignment (and the one already-compiled eval
+        # shape) instead of falling back to a freshly-compiled plain-XLA
+        # step for one batch.  Pad rows carry weight 0, so both the metric
+        # and the per-sample loss stay exact either way.
+        force_pad = (self.mesh is not None or
+                     getattr(self.model, "fused_stack", False) == "t")
+
         def padded(stream):
             """Pad ragged batches BEFORE device_put — a non-divisible batch
             cannot be placed with a 'data'-axis sharding.  Pad rows get
@@ -464,7 +474,7 @@ class ModelTrainer:
             for lr_b, hr_b, mask_b in stream:
                 true_n = len(lr_b)
                 w = np.ones(true_n, np.float32)
-                if true_n != full and self.mesh is not None:
+                if true_n != full and force_pad:
                     pad = lambda a: np.resize(np.asarray(a),
                                               (full,) + a.shape[1:])
                     lr_b, hr_b, mask_b = pad(lr_b), pad(hr_b), pad(mask_b)

@@ -170,6 +170,43 @@ class TestTrainerMesh:
         np.testing.assert_allclose(mesh_psnr, ref_psnr, rtol=1e-5)
         np.testing.assert_allclose(mesh_loss, ref_loss, rtol=1e-5)
 
+    def test_fused_eval_pads_ragged_batch_and_stays_exact(self, tmp_path,
+                                                          rng):
+        # With fused_stack='t' (no mesh), evaluate() pads the ragged final
+        # batch up to the full batch size so it keeps the kernels' 128-lane
+        # alignment (and the single compiled eval shape) instead of falling
+        # back to a freshly-compiled plain step.  The 0-weighted pad rows
+        # must leave loss and metric exactly equal to the unpadded plain
+        # evaluation.
+        x, hr, mask = tiny_data(rng, n=10)   # batch 8 -> batches of 8 and 2
+        _, t_plain = tiny_setup(tmp_path / "a")
+        t_plain.init_state(x[:1], rng_seed=3)
+        t_plain._build_steps()
+        ref_loss, ref_psnr = t_plain.evaluate(
+            Batcher((x, hr, mask), 8, seed=0, drop_remainder=False),
+            val_steps=4)
+
+        model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                           exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                           patch_size_lr=16, mean=100.0, std=50.0,
+                           fused_stack="t")
+        losses = ShiftCompensatedLosses(target_shape=(48, 48, 1),
+                                        use_pallas=False)
+        t_fused = ModelTrainer(model, losses.l1, losses.cpsnr,
+                               build_optimizer("nadam", 1e-3),
+                               ckpt_dir=str(tmp_path / "b" / "ckpt"),
+                               log_dir=str(tmp_path / "b" / "logs"),
+                               loss_per_sample_fn=losses.per_sample("l1"))
+        t_fused.init_state(x[:1], rng_seed=3)
+        t_fused._build_steps()
+        fused_loss, fused_psnr = t_fused.evaluate(
+            Batcher((x, hr, mask), 8, seed=0, drop_remainder=False),
+            val_steps=4)
+        # interpreter-kernel tolerance; exactness of the weighting itself
+        # is covered by the mesh variant above
+        np.testing.assert_allclose(fused_psnr, ref_psnr, rtol=1e-4)
+        np.testing.assert_allclose(fused_loss, ref_loss, rtol=1e-4)
+
     def test_fused_stack_tensor_parallel_guarded(self, tmp_path):
         # fused_stack='t' + model-axis sharding is undefined; the trainer
         # must refuse the combination loudly instead of silently
