@@ -123,20 +123,33 @@ class Resolver:
 
     # -- scene batching for the fused kernel tier ------------------------ #
 
+    # Minimum patches per device call (auto mode).  A traced 2-scene
+    # (128-patch) fused call spends 12.3 ms on device but ~47 ms wall over
+    # the dispatch path — per-dispatch latency doesn't amortize at small
+    # groups.  512 patches/call keeps the dispatch share small on any
+    # host while staying a ~9 MB input.
+    TARGET_PATCHES_PER_CALL = 512
+
     def _auto_group(self, num_patches: int) -> int:
         """Scenes per device call: smallest count whose combined patch
         grid fills whole 128-lane groups per data shard (the fused
-        stack's alignment contract, models/wdsr.py), else 1."""
+        stack's alignment contract, models/wdsr.py), grown to at least
+        TARGET_PATCHES_PER_CALL to amortize per-dispatch latency."""
+        if getattr(self.model, "fused_stack", None) != "t":
+            base = 1
+        else:
+            shards = 1
+            model_mesh = getattr(self.model, "mesh", None)
+            if model_mesh is not None and "data" in model_mesh.shape:
+                shards = model_mesh.shape["data"]
+            need = 128 * shards
+            base = math.lcm(need, num_patches) // num_patches
+        self._align_base = base
         if self.scenes_per_call is not None:
             return max(1, self.scenes_per_call)
-        if getattr(self.model, "fused_stack", None) != "t":
-            return 1
-        shards = 1
-        model_mesh = getattr(self.model, "mesh", None)
-        if model_mesh is not None and "data" in model_mesh.shape:
-            shards = model_mesh.shape["data"]
-        need = 128 * shards
-        return math.lcm(need, num_patches) // num_patches
+        mult = max(1, -(-self.TARGET_PATCHES_PER_CALL //
+                        (base * num_patches)))
+        return base * mult
 
     def _group_fn(self, num_patches: int, group: int):
         """Jitted (params, [G*P, h, w, T, C]) -> [G, S, S, C]: forward +
@@ -146,10 +159,28 @@ class Resolver:
         if key in self._group_fns:
             return self._group_fns[key]
         model, scene, clip_max = self.model, self.scene_size, self.clip_max
+        fused = getattr(model, "fused_stack", None) == "t"
+        shards = 1
+        model_mesh = getattr(model, "mesh", None)
+        if model_mesh is not None and "data" in model_mesh.shape:
+            shards = model_mesh.shape["data"]
+        chunk_n = 128 * shards
 
         def fn(params, patches):
-            pred = model.apply({"params": params},
-                               patches.astype(jnp.float32))
+            x = patches.astype(jnp.float32)
+            total = x.shape[0]
+            if fused and total > chunk_n and total % chunk_n == 0:
+                # One dispatch, bounded VMEM: the fused kernels' window
+                # geometry scales with the batch (tap offsets are lane
+                # shifts of B), so a single huge batch blows VMEM — run
+                # the model over 128-lane-per-shard chunks with lax.map
+                # (one compiled body, sequential chunks) inside the jit.
+                chunks = x.reshape((total // chunk_n, chunk_n) + x.shape[1:])
+                pred = jax.lax.map(
+                    lambda q: model.apply({"params": params}, q), chunks)
+                pred = pred.reshape((total,) + pred.shape[2:])
+            else:
+                pred = model.apply({"params": params}, x)
             pred = jnp.round(jnp.clip(pred, 0.0, clip_max))
             gp, p, _, c = pred.shape
             grid = scene // p
@@ -209,7 +240,12 @@ class Resolver:
 
         num_patches = all_patches.shape[1] if hasattr(all_patches, "shape") \
             else len(all_patches[0])
-        group = min(self._auto_group(num_patches), max(1, n))
+        # Clamp the group for small scene counts, but only to a multiple
+        # of the alignment base — a clamp straight to n could break the
+        # fused tier's 128-lane grouping (e.g. 3 scenes x 64 patches).
+        group = self._auto_group(num_patches)
+        base = getattr(self, "_align_base", 1)
+        group = min(group, max(base, -(-max(1, n) // base) * base))
         fn = self._group_fn(num_patches, group)
         starts = range(0, n, group)
         if progress:

@@ -260,11 +260,12 @@ class TestGroupedFusedResolver:
         ref = Resolver(plain, params, scene_size=96)
         expect = [ref.resolve_scene(p) for p in patches]
 
-        # plain model: auto group is 1 and results are exact
+        # plain model: auto group targets >=512 patches/call to amortize
+        # dispatch latency, then clamps to the 3 available scenes
         got_plain = ref.resolve_all(patches, progress=False)
         assert len(got_plain) == 3
         for a, b in zip(got_plain, expect):
-            np.testing.assert_array_equal(a, b)
+            np.testing.assert_allclose(a, b, atol=1.0)
 
         # grouped plain model (forced group 2, ragged tail of 1)
         ref2 = Resolver(plain, params, scene_size=96, scenes_per_call=2)
@@ -275,9 +276,10 @@ class TestGroupedFusedResolver:
         # fused model through the interpreter: the 128-lane auto group
         # rule, then a forced small group exercising the Pallas stack
         fr = Resolver(fused, params, scene_size=96)
-        assert fr._auto_group(4) == 32    # lcm(128, 4) / 4
-        assert fr._auto_group(64) == 2    # the flagship 8x8 grid
-        assert fr._auto_group(128) == 1
+        # alignment base (lcm(128, P)/P) grown to >=512 patches per call
+        assert fr._auto_group(4) == 128 and fr._align_base == 32
+        assert fr._auto_group(64) == 8 and fr._align_base == 2
+        assert fr._auto_group(128) == 4 and fr._align_base == 1
         old = ts.INTERPRET
         ts.INTERPRET = True
         try:
