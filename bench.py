@@ -81,13 +81,16 @@ def measure(dtype_name: str, iters: int = 50,
         return int(s.step)
 
     state, loss, metric = trainer._jit_train(state, x, hr, mask)
-    base = drain(state)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss, metric = trainer._jit_train(state, x, hr, mask)
-    assert drain(state) == base + iters
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    best = 0.0
+    for _trial in range(2):   # best-of-2: tunnel-stall robustness
+        base = drain(state)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss, metric = trainer._jit_train(state, x, hr, mask)
+        assert drain(state) == base + iters
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, batch / dt)
+    return best
 
 
 def measure_infer(dtype_name: str, fused_stack=False, iters: int = 40,
