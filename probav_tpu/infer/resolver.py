@@ -97,19 +97,25 @@ class Resolver:
                 out_shardings=batch_sharding(mesh))
 
         fused = getattr(model, "fused_stack", None) == "t"
+        tta_shards = 1
+        tta_mesh = getattr(model, "mesh", None)
+        if tta_mesh is not None and "data" in tta_mesh.shape:
+            tta_shards = tta_mesh.shape["data"]
+        tta_chunk = 128 * tta_shards   # 128 lanes PER DATA SHARD
 
         @jax.jit
         def _resolve_mean(params, patches_stack):
             # patches_stack: [R, P, h, w, T, C] -> mean over R repeats.
             r, p = patches_stack.shape[:2]
             x = patches_stack.astype(jnp.float32)
-            if fused and (r * p) % 128 == 0 and p % 128 != 0:
+            if fused and (r * p) % tta_chunk == 0 and p % tta_chunk != 0:
                 # Flatten the (repeats, patches) axes and re-chunk into
-                # 128-lane groups so the TTA forward also takes the fused
-                # Pallas stack; lax.map compiles one body, runs chunks
-                # sequentially (bounded memory).
+                # 128-lane-per-shard groups so the TTA forward also takes
+                # the fused Pallas stack; lax.map compiles one body, runs
+                # chunks sequentially (bounded memory).
                 flat = x.reshape((r * p,) + x.shape[2:])
-                chunks = flat.reshape(((r * p) // 128, 128) + x.shape[2:])
+                chunks = flat.reshape(
+                    ((r * p) // tta_chunk, tta_chunk) + x.shape[2:])
                 preds = jax.lax.map(
                     lambda q: model.apply({"params": params}, q), chunks)
                 preds = preds.reshape((r, p) + preds.shape[2:])
@@ -146,7 +152,11 @@ class Resolver:
             base = math.lcm(need, num_patches) // num_patches
         self._align_base = base
         if self.scenes_per_call is not None:
-            return max(1, self.scenes_per_call)
+            # Honor the user's floor but keep the fused tier's 128-lane
+            # alignment: round up to a multiple of the alignment base
+            # (scenes_per_call=3 on a 64-patch grid would otherwise make
+            # every call 192 patches and silently drop to the plain stack).
+            return -(-max(1, self.scenes_per_call) // base) * base
         mult = max(1, -(-self.TARGET_PATCHES_PER_CALL //
                         (base * num_patches)))
         return base * mult
@@ -159,7 +169,6 @@ class Resolver:
         if key in self._group_fns:
             return self._group_fns[key]
         model, scene, clip_max = self.model, self.scene_size, self.clip_max
-        fused = getattr(model, "fused_stack", None) == "t"
         shards = 1
         model_mesh = getattr(model, "mesh", None)
         if model_mesh is not None and "data" in model_mesh.shape:
@@ -169,12 +178,14 @@ class Resolver:
         def fn(params, patches):
             x = patches.astype(jnp.float32)
             total = x.shape[0]
-            if fused and total > chunk_n and total % chunk_n == 0:
-                # One dispatch, bounded VMEM: the fused kernels' window
+            if total > chunk_n and total % chunk_n == 0:
+                # One dispatch, bounded memory: the fused kernels' window
                 # geometry scales with the batch (tap offsets are lane
                 # shifts of B), so a single huge batch blows VMEM — run
                 # the model over 128-lane-per-shard chunks with lax.map
                 # (one compiled body, sequential chunks) inside the jit.
+                # Plain models chunk too: one 512-patch apply would hold
+                # ~8x the wide expand activation live at once.
                 chunks = x.reshape((total // chunk_n, chunk_n) + x.shape[1:])
                 pred = jax.lax.map(
                     lambda q: model.apply({"params": params}, q), chunks)

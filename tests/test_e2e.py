@@ -280,6 +280,11 @@ class TestGroupedFusedResolver:
         assert fr._auto_group(4) == 128 and fr._align_base == 32
         assert fr._auto_group(64) == 8 and fr._align_base == 2
         assert fr._auto_group(128) == 4 and fr._align_base == 1
+        # an explicit scenes_per_call is rounded UP to the alignment base
+        # (3 x 64 = 192 patches would silently drop to the plain stack)
+        fr.scenes_per_call = 3
+        assert fr._auto_group(64) == 4
+        fr.scenes_per_call = None
         old = ts.INTERPRET
         ts.INTERPRET = True
         try:

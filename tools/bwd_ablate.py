@@ -34,6 +34,8 @@ W1Z = "dw1_ref[0] = dw1_acc"
 W2Z = "dw2t_ref[0] = dw2t_acc"
 
 VARIANTS = {
+    "full": [],
+    "no_tap_copies": [(COPIES, "            pass")],
     "no_dwc+dcopy": [(DCOPY, "            pass"), (DWC, "dwc_acc = dwc_acc"),
                      (WZ, "dwc_ref[0] = jnp.zeros(dwc_ref.shape[1:], _F32)")],
     "no_dd_dot": [(DDDOT,

@@ -91,7 +91,7 @@ def main():
         return r
 
     seg_bytes = (C * lanes * isz        # x in
-                 + 1 * lanes * 1        # imask (stored in dt? it's x.dtype)
+                 + 1 * lanes * isz      # imask (stored at the compute dtype)
                  + CDEC * lanes * isz)  # d out
     seg_dots = [(2 * lanes * C * CMID, u(C)),        # z: M=256 K=32 N=CH
                 (2 * lanes * CMID * CDEC, u(CDEC))]  # d: M=25 K=256 N=CH
@@ -192,8 +192,12 @@ def main():
         n = max(cnt[key], 1)
         report(f"{key} (x{n // iters}/step)", agg[key] / n, bts, dots)
 
-    per_block = sum(r["ms"] * cnt[k] // iters / 12 for r, k in
-                    zip(rows, ("seg_fwd", "conv_fwd", "blk_bwd")))
+    # Per-block kernel ms: avg-ms-per-event x events-per-step / 12 blocks.
+    # Pair by key (a missing kernel must not shift the pairing), and keep
+    # the division float (cnt[k]/iters) — flooring the product undercounts.
+    per_block = sum(agg[k] / iters / 12
+                    for k in ("seg_fwd", "conv_fwd", "blk_bwd")
+                    if cnt[k])
     kern_total = sum(agg.values()) / iters
     print(f"\nstack fwd+bwd (12 blocks): {stack_ms:.2f} ms wall "
           f"({kern_total:.2f} ms device kernel time; "
