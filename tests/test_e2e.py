@@ -298,6 +298,42 @@ class TestGroupedFusedResolver:
             # largest admissible step is one grey level
             np.testing.assert_allclose(a, b, atol=1.0)
 
+    def test_chunked_group_call_matches_per_scene(self, rng):
+        """Groups above 128 patches run the model over 128-lane chunks
+        with lax.map inside the one jitted call (bounded VMEM); the
+        chunked branch must reproduce per-scene results for both the
+        plain and the fused (interpreter) model."""
+        import jax
+        import probav_tpu.ops.pallas_tstack as ts
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver
+
+        kw = dict(scale=3, num_filters=4, num_res_blocks=1, exp_rate=2,
+                  decay_rate=0.8, num_img_lr=9, patch_size_lr=16,
+                  mean=100.0, std=50.0)
+        plain = WDSRConv3D(**kw)
+        fused = WDSRConv3D(fused_stack="t", **kw)
+        # 4 scenes x 64 patches = 256 total -> two 128-lane chunks
+        patches = rng.uniform(
+            50, 150, (4, 64, 22, 22, 9, 1)).astype(np.float32)
+        params = plain.init(jax.random.PRNGKey(0), patches[0][:1])["params"]
+
+        ref = Resolver(plain, params, scene_size=384)
+        expect = [ref.resolve_scene(p) for p in patches]
+
+        for model in (plain, fused):
+            r = Resolver(model, params, scene_size=384, scenes_per_call=4)
+            assert r._auto_group(64) == 4   # 256 patches > chunk_n=128
+            old = ts.INTERPRET
+            ts.INTERPRET = True
+            try:
+                got = r.resolve_all(patches, progress=False)
+            finally:
+                ts.INTERPRET = old
+            assert len(got) == 4
+            for a, b in zip(got, expect):
+                np.testing.assert_allclose(a, b, atol=1.0)
+
 
 class TestMeshResolver:
     def test_sharded_inference_matches_single_device(self, rng):
