@@ -356,3 +356,34 @@ class TestMeshResolver:
         a = single.resolve_scene(patches)
         b = sharded.resolve_scene(patches)
         np.testing.assert_array_equal(a, b)
+
+    def test_sharded_grouped_chunked_call(self, rng):
+        """The grouped call's in-jit lax.map chunking must compose with a
+        data mesh: 8 scenes x 64 patches = 512 total over 2 shards
+        (chunk_n = 256) -> two chunks, each 128 patches per shard."""
+        import jax
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver
+        from probav_tpu.parallel import make_mesh
+
+        model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                           exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                           patch_size_lr=16, mean=100.0, std=50.0)
+        patches = rng.uniform(
+            50, 150, (8, 64, 22, 22, 9, 1)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            patches[0][:1])["params"]
+
+        single = Resolver(model, params, scene_size=384)
+        expect = [single.resolve_scene(p) for p in patches[:2]]
+
+        mesh = make_mesh(num_data=2, num_model=1)
+        mm = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                        exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                        patch_size_lr=16, mean=100.0, std=50.0, mesh=mesh)
+        sharded = Resolver(mm, params, scene_size=384, mesh=mesh,
+                           scenes_per_call=8)
+        got = sharded.resolve_all(patches, progress=False)
+        assert len(got) == 8
+        for a, b in zip(got[:2], expect):
+            np.testing.assert_allclose(a, b, atol=1.0)
