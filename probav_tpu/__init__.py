@@ -15,4 +15,4 @@ A from-scratch rebuild of the capabilities of the PROBA-V "EnhanceMe!" stack
 - ``probav_tpu.evaluation``  per-scene cPSNR comparison tooling.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
