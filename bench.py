@@ -146,7 +146,41 @@ def measure_infer(dtype_name: str, fused_stack=False, iters: int = 40,
     return best
 
 
+def _wait_for_backend(tries: int = 6, delay_s: float = 60.0,
+                      probe_timeout_s: float = 300.0) -> None:
+    """Block until the TPU backend initializes (bounded retries).
+
+    The tunneled chip exhibits transient multi-minute outages where
+    backend setup itself fails with UNAVAILABLE; a failed init is cached
+    for the life of the process, so probe in a SUBPROCESS and only
+    proceed in this process once a probe succeeds (or retries are
+    exhausted — then run anyway and fail with the real error).
+    """
+    import subprocess
+    import sys
+
+    for attempt in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout_s)
+        except subprocess.TimeoutExpired:   # init HANGS during outages too
+            print(f"[bench] backend probe {attempt + 1}/{tries} timed out",
+                  file=sys.stderr, flush=True)
+            continue
+        if r.returncode == 0:
+            return
+        tail = (r.stderr or b"").decode(errors="replace").strip()
+        print(f"[bench] backend probe {attempt + 1}/{tries} failed "
+              f"({tail.splitlines()[-1][:120] if tail else 'no stderr'}); "
+              f"retrying in {delay_s:.0f}s", file=sys.stderr, flush=True)
+        if attempt + 1 < tries:
+            time.sleep(delay_s)
+
+
 def main():
+    _wait_for_backend()
     fused_bf16 = measure("bf16", fused_stack="t")
     fused_f32 = measure("f32", fused_stack="t")
     infer_bf16 = measure_infer("bf16", fused_stack="t")
