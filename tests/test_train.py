@@ -45,6 +45,35 @@ class TestBatcher:
                               Batcher((x,), 3, shuffle=False).epoch()])
         np.testing.assert_array_equal(got.ravel(), np.arange(9))
 
+    def test_epoch_skip_yields_exact_tail(self):
+        # epoch(skip=k) must draw the SAME permutation and yield exactly
+        # the batches an uninterrupted epoch would after its first k —
+        # the replay half of sample-accurate resume (trainer.fit).
+        x = np.arange(12)[:, None]
+        full = list(Batcher((x,), 3, seed=7).epoch())
+        tail = list(Batcher((x,), 3, seed=7).epoch(skip=2))
+        assert len(tail) == len(full) - 2
+        for a, b in zip(full[2:], tail):
+            np.testing.assert_array_equal(a[0], b[0])
+
+    def test_skip_epochs_advances_rng_like_consumed_epochs(self):
+        x = np.arange(12)[:, None]
+        consumed = Batcher((x,), 3, seed=9)
+        for _ in range(2):
+            list(consumed.epoch())
+        skipped = Batcher((x,), 3, seed=9)
+        skipped.skip_epochs(2)
+        for a, b in zip(consumed.epoch(), skipped.epoch()):
+            np.testing.assert_array_equal(a[0], b[0])
+
+    def test_repeat_skips_first_epoch_only(self):
+        x = np.arange(6)[:, None]
+        full = list(Batcher((x,), 3, seed=3).repeat(2))
+        resumed = list(Batcher((x,), 3, seed=3).repeat(2, skip=1))
+        assert len(resumed) == len(full) - 1
+        for a, b in zip(full[1:], resumed):
+            np.testing.assert_array_equal(a[0], b[0])
+
     def test_prefetch_preserves_order(self):
         x = np.arange(12)[:, None]
         batches = list(Batcher((x,), 4, shuffle=False).epoch())
