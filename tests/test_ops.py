@@ -174,6 +174,49 @@ class TestRegistration:
         np.testing.assert_allclose(np.asarray(a.data), np.asarray(b.data), atol=1e-2)
         np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
 
+    def test_batched_jax_backend_matches_per_scene(self, rng):
+        # register_images(backend='jax') buckets scenes by frame count and
+        # runs chunked multi-scene device calls; every scene's result must
+        # equal the per-scene jit path bit-for-bit (same core body), for
+        # uniform AND ragged scene sets, across the chunk-padding branch.
+        from probav_tpu.ops.registration import (register_images,
+                                                 register_scenes_jax)
+
+        def make_scene(n_frames):
+            imgs = rng.uniform(0, 255, (n_frames, 1, 16, 16)).astype(
+                np.float32)
+            for k in range(1, n_frames):
+                imgs[k] = np.roll(imgs[0], (k % 3 - 1, k % 5 - 2),
+                                  axis=(1, 2))
+            msks = (rng.uniform(size=imgs.shape) > 0.2).astype(
+                np.uint16) * 255
+            msks[0] = 255   # deterministic clearest frame
+            return imgs, msks
+
+        # uniform frame count, 5 scenes, chunk 2 -> exercises the ragged
+        # final chunk's repeat-pad + drop
+        scenes = [make_scene(3) for _ in range(5)]
+        imgs = np.stack([s[0] for s in scenes])
+        msks = np.stack([s[1] for s in scenes])
+        got = register_scenes_jax(imgs, msks, chunk=2)
+        for i in range(5):
+            want = register_image_set_jax(imgs[i], msks[i])
+            np.testing.assert_array_equal(got[i].data, want.data)
+            np.testing.assert_array_equal(got[i].mask, want.mask)
+
+        # ragged frame counts (the raw PROBA-V layout) via the public
+        # register_images entry: object arrays in, scene order preserved
+        ragged = [make_scene(n) for n in (3, 4, 3, 4)]
+        oi = np.empty(4, dtype=object)
+        om = np.empty(4, dtype=object)
+        for i, (im, mk) in enumerate(ragged):
+            oi[i], om[i] = im, mk
+        got = register_images(oi, om, backend="jax")
+        for i, (im, mk) in enumerate(ragged):
+            want = register_image_set_jax(im, mk)
+            np.testing.assert_array_equal(got[i].data, want.data)
+            np.testing.assert_array_equal(got[i].mask, want.mask)
+
 
 class TestMaskedRegistration:
     """tech='time' path: Padfield masked NCC + reflect-mode resample
