@@ -23,7 +23,11 @@ def parse_args():
     p.add_argument("--tech", default="freq", choices=["freq", "time"])
     p.add_argument("--reg-backend", default="numpy", choices=["numpy", "jax"],
                    help="'jax' batches the registration FFTs on the "
-                        "accelerator (freq technique only)")
+                        "accelerator (both techniques)")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the jax registration backend to host CPU "
+                        "(preprocessing is host work; use when no TPU is "
+                        "attached)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--outlier-threshold", default=None, type=float,
                    help="legacy v1 filter (utils/utils.py:492-531): drop "
@@ -38,6 +42,11 @@ def parse_args():
 
 def main():
     opt = parse_args()
+    if opt.cpu:
+        # Must happen before any jnp use; the env var alone is not enough
+        # on hosts whose sitecustomize force-selects a TPU platform.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from probav_tpu.config import Config
     from probav_tpu.data import pipeline
 

@@ -12,6 +12,7 @@ which aligns every LR frame of a scene to its clearest frame:
 
 - ``tech='time'``: masked normalized cross-correlation (Padfield) as in
   skimage ``masked_register_translation``, then a reflect-mode spatial shift.
+  Batched on TPU via ``register_scenes_jax(tech='time')``.
 
 Masks follow the reference convention INTO this module as QM arrays
 (nonzero == clear); the outputs are masked arrays with mask=True == occluded.
@@ -73,7 +74,8 @@ def masked_phase_correlation_shift(reference: np.ndarray, moving: np.ndarray,
     # counts and the NCC surface wrap around the borders and can elect a
     # spurious wrapped translation.
     pad_shape = tuple(2 * s - 1 for s in reference.shape)
-    fft = lambda x: np.fft.fftn(x, s=pad_shape)
+    axes = tuple(range(reference.ndim))
+    fft = lambda x: np.fft.fftn(x, s=pad_shape, axes=axes)
     ifft = lambda x: np.real(np.fft.ifftn(x))
     f1, f2 = fft(fixed), fft(moving_img)
     fm1, fm2 = fft(m1), fft(m2)
@@ -166,13 +168,15 @@ def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
     """Register every scene (dataGenerator.py:599-613).
 
     [numImgSet, numFrames, C, H, W] -> masked array of the same shape.
-    ``backend='jax'`` runs the FFT/argmax/roll work on the accelerator
-    (freq technique only), bucketed by frame count into chunked
-    multi-scene device calls (see register_scenes_jax).
+    ``backend='jax'`` runs the shift estimation + resample on the
+    accelerator for BOTH techniques — phase-correlation FFT/argmax/roll
+    ('freq') and Padfield masked NCC + reflect-resample ('time') —
+    bucketed by frame count into chunked multi-scene device calls (see
+    register_scenes_jax).
     """
-    if backend == "jax" and tech == "freq":
+    if backend == "jax" and tech in ("freq", "time"):
         registered = register_scenes_jax(all_img_lr, all_msk_lr,
-                                         progress=progress)
+                                         progress=progress, tech=tech)
     else:
         sets = range(len(all_img_lr))
         if progress:
@@ -201,6 +205,7 @@ def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
 
 _jax_align = None
 _jax_align_batch = None
+_jax_align_time_batch = None
 
 
 def _align_core(jax, jnp, ref, frames, frame_msks):
@@ -253,8 +258,102 @@ def _get_jax_align_batch():
     return _jax_align_batch
 
 
-def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = 64,
-                        progress: bool = False) -> list:
+def _align_time_core(jax, jnp, ref, ref_msk, frames, frame_msks,
+                     overlap_ratio=3.0 / 10.0):
+    """One scene, tech='time': masked-NCC shifts + reflect resample.
+
+    Device-side mirror of masked_phase_correlation_shift +
+    register_frame(tech='time') (themselves mirroring the reference's
+    masked_register_translation path, dataGenerator.py:663-666): the NCC
+    surface lives on the zero-padded full-correlation grid (2H-1, 2W-1),
+    translations with too little mask overlap are suppressed, and the
+    winning integer shift is applied by gather — exactly what
+    scipy.ndimage.shift computes at integer offsets ('reflect' for the
+    image, 'constant' cval=0 for the mask; verified bit-equal in
+    tests/test_ops.py).  ref/ref_msk [C,H,W]; frames/frame_msks
+    [N,C,H,W].  Channels ride the batch axis (the dataset is C=1; for
+    C=1 this equals the host path's 3D FFT over [1,H,W]).  Compute is
+    float32 on device (the host path runs float64; away from exact NCC
+    ties — which the quality masks make measure-zero in practice — the
+    argmax agrees).
+    """
+    n, c, h, w = frames.shape
+    ph, pw = 2 * h - 1, 2 * w - 1
+    eps = jnp.finfo(jnp.float32).eps
+
+    fixed = jnp.where(ref_msk, ref, 0.0).astype(jnp.float32)
+    moving = jnp.where(frame_msks, frames, 0.0).astype(jnp.float32)
+    m1 = ref_msk.astype(jnp.float32)
+    m2 = frame_msks.astype(jnp.float32)
+
+    def fft(x):
+        padding = [(0, 0)] * (x.ndim - 2) + [(0, ph - h), (0, pw - w)]
+        return jnp.fft.fft2(jnp.pad(x, padding))
+
+    def ifft(x):
+        return jnp.real(jnp.fft.ifft2(x))
+
+    f1, fm1, fs1 = fft(fixed), fft(m1), fft(fixed ** 2)      # [C,ph,pw]
+    f2, fm2, fs2 = fft(moving), fft(m2), fft(moving ** 2)    # [N,C,ph,pw]
+
+    overlap = jnp.maximum(jnp.round(ifft(fm1[None] * jnp.conj(fm2))), 0.0)
+    s1 = ifft(f1[None] * jnp.conj(fm2))
+    s2 = ifft(fm1[None] * jnp.conj(f2))
+    sq1 = ifft(fs1[None] * jnp.conj(fm2))
+    sq2 = ifft(fm1[None] * jnp.conj(fs2))
+    cross = ifft(f1[None] * jnp.conj(f2))
+
+    ovl = jnp.maximum(overlap, eps)
+    num = cross - s1 * s2 / ovl
+    var1 = jnp.maximum(sq1 - s1 ** 2 / ovl, 0.0)
+    var2 = jnp.maximum(sq2 - s2 ** 2 / ovl, 0.0)
+    ncc = num / jnp.sqrt(var1 * var2 + eps)
+
+    omax = jnp.max(overlap.reshape(n, -1), axis=1)           # per frame
+    ncc = jnp.where(overlap < overlap_ratio * omax[:, None, None, None],
+                    -jnp.inf, ncc)
+    flat = ncc.reshape(n, c * ph * pw)
+    idx = jnp.argmax(flat, axis=1)
+    iy = (idx % (ph * pw)) // pw
+    ix = idx % pw
+    # Full-correlation index k maps to displacement k for k < n, else
+    # k - (2n - 1) (masked_phase_correlation_shift's decode).
+    sy = jnp.where(iy < h, iy, iy - ph)
+    sx = jnp.where(ix < w, ix, ix - pw)
+
+    def shift_one(img, msk, dy, dx):
+        jy = jnp.arange(h) - dy
+        jx = jnp.arange(w) - dx
+        ry = jnp.where(jy < 0, -jy - 1, jy)          # scipy 'reflect':
+        ry = jnp.where(ry >= h, 2 * h - 1 - ry, ry)  # (dcba|abcd|dcba)
+        rx = jnp.where(jx < 0, -jx - 1, jx)
+        rx = jnp.where(rx >= w, 2 * w - 1 - rx, rx)
+        reg = jnp.take(jnp.take(img, ry, axis=1), rx, axis=2)
+        vy = (jy >= 0) & (jy < h)
+        vx = (jx >= 0) & (jx < w)
+        gm = jnp.take(jnp.take(msk, jnp.clip(jy, 0, h - 1), axis=1),
+                      jnp.clip(jx, 0, w - 1), axis=2)
+        return reg, gm & vy[None, :, None] & vx[None, None, :]
+
+    return jax.vmap(shift_one)(frames, frame_msks, sy, sx)
+
+
+def _get_jax_align_time_batch():
+    """Module-cached jitted multi-scene 'time' aligner (vmap over a
+    leading scene axis: refs/ref_msks [S,C,H,W]; frames [S,N-1,C,H,W])."""
+    global _jax_align_time_batch
+    if _jax_align_time_batch is not None:
+        return _jax_align_time_batch
+    import jax
+    import jax.numpy as jnp
+
+    _jax_align_time_batch = jax.jit(
+        jax.vmap(functools.partial(_align_time_core, jax, jnp)))
+    return _jax_align_time_batch
+
+
+def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = None,
+                        progress: bool = False, tech: str = "freq") -> list:
     """Register MANY scenes with a handful of device calls.
 
     Per-scene dispatch (``register_image_set_jax`` in a Python loop) pays
@@ -268,13 +367,20 @@ def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = 64,
     extras dropped, so every call reuses the one compiled (chunk, N)
     shape.  Results keep the input scene order; numerics are identical
     to the per-scene path (same core jit body).
+
+    ``tech='time'`` routes through the masked-NCC core instead
+    (_align_time_core); its padded-FFT surfaces are ~4x the frame area
+    and ~10 deep, so the default chunk is smaller.
     """
+    if chunk is None:
+        chunk = 64 if tech == "freq" else 16
     n_scenes = len(all_img_lr)
     buckets: dict = {}
     for i in range(n_scenes):
         buckets.setdefault(np.asarray(all_img_lr[i]).shape, []).append(i)
 
-    align_b = _get_jax_align_batch()
+    align_b = (_get_jax_align_batch() if tech == "freq"
+               else _get_jax_align_time_batch())
     out: list = [None] * n_scenes
     done = 0
     for shape, idxs in buckets.items():
@@ -298,7 +404,11 @@ def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = 64,
                 ib = np.concatenate([ib, np.repeat(ib[-1:], pad, axis=0)])
                 mb = np.concatenate([mb, np.repeat(mb[-1:], pad, axis=0)])
             if n_frames > 1:
-                reg_i, reg_m = align_b(ib[:, 0], ib[:, 1:], mb[:, 1:])
+                if tech == "freq":
+                    reg_i, reg_m = align_b(ib[:, 0], ib[:, 1:], mb[:, 1:])
+                else:
+                    reg_i, reg_m = align_b(ib[:, 0], mb[:, 0],
+                                           ib[:, 1:], mb[:, 1:])
                 reg_i = np.asarray(reg_i)[:take]
                 reg_m = np.asarray(reg_m)[:take]
             else:

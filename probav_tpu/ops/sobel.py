@@ -7,13 +7,18 @@ padding, returning a trailing axis of size 2 ordered [dy, dx].
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
 # tf.image.sobel_edges kernel bank: dy = smooth_x * diff_y, dx = transpose.
-_SOBEL_DY = jnp.array([[-1.0, -2.0, -1.0],
-                       [0.0, 0.0, 0.0],
-                       [1.0, 2.0, 1.0]], dtype=jnp.float32)
+# Host-side constants: a module-level DEVICE array would initialize the
+# backend at import time (and block every `probav_tpu.ops` import when no
+# device is reachable); jnp converts them at trace time instead.
+_SOBEL_DY = np.array([[-1.0, -2.0, -1.0],
+                      [0.0, 0.0, 0.0],
+                      [1.0, 2.0, 1.0]], dtype=np.float32)
 _SOBEL_DX = _SOBEL_DY.T
 
 

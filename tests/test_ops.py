@@ -286,6 +286,54 @@ class TestMaskedRegistration:
         assert out.shape == imgs.shape
         assert np.isfinite(out.data).all()
 
+    def make_time_scene(self, rng, n_frames, size=32, margin=8):
+        """Scene of true LINEAR translations of one underlying image with
+        per-frame occlusion — the case masked NCC recovers unambiguously
+        (so the f32 device argmax and the f64 host argmax agree)."""
+        big = rng.uniform(0, 255, (size + 2 * margin,) * 2)
+        offs = [(0, 0)] + [((k * 3) % 9 - 4, (k * 5) % 7 - 3)
+                           for k in range(1, n_frames)]
+        imgs = np.stack([
+            big[margin + dy:margin + dy + size,
+                margin + dx:margin + dx + size][None]
+            for dy, dx in offs]).astype(np.float32)
+        msks = (rng.uniform(size=imgs.shape) > 0.25).astype(np.uint16) * 255
+        msks[0] = 255   # deterministic clearest (reference) frame
+        imgs[msks == 0] = rng.uniform(0, 255, int((msks == 0).sum()))
+        return imgs, msks
+
+    def test_batched_jax_time_backend_matches_host_path(self, rng):
+        # register_images(backend='jax', tech='time') — the bucketed
+        # multi-scene masked-NCC device path — must reproduce the host
+        # numpy/scipy per-scene path: identical masks and shifts (gather
+        # == scipy reflect/constant shift at integer offsets), image
+        # values equal up to the host path's float64 spline noise.
+        # Ragged frame counts exercise the bucketing; 5 scenes at chunk 2
+        # exercise the repeat-pad + drop branch.
+        from probav_tpu.ops.registration import (register_image_set,
+                                                 register_images,
+                                                 register_scenes_jax)
+
+        ragged = [self.make_time_scene(rng, n) for n in (3, 4, 3, 4)]
+        oi = np.empty(4, dtype=object)
+        om = np.empty(4, dtype=object)
+        for i, (im, mk) in enumerate(ragged):
+            oi[i], om[i] = im, mk
+        got = register_images(oi, om, backend="jax", tech="time")
+        for i, (im, mk) in enumerate(ragged):
+            want = register_image_set(im, mk, tech="time")
+            np.testing.assert_array_equal(got[i].mask, want.mask)
+            np.testing.assert_allclose(got[i].data, want.data, atol=1e-4)
+
+        scenes = [self.make_time_scene(rng, 3) for _ in range(5)]
+        imgs = np.stack([s[0] for s in scenes])
+        msks = np.stack([s[1] for s in scenes])
+        got = register_scenes_jax(imgs, msks, chunk=2, tech="time")
+        for i in range(5):
+            want = register_image_set(imgs[i], msks[i], tech="time")
+            np.testing.assert_array_equal(got[i].mask, want.mask)
+            np.testing.assert_allclose(got[i].data, want.data, atol=1e-4)
+
 
 class TestRevSSIMFaithfulness:
     def test_fixed_points_of_reference_formula(self):

@@ -6,7 +6,8 @@ Synthesizes a dataset-scale scene set (default 232 scenes = 1/5 of the
 128x128 geometry) and times the three backends of
 probav_tpu.ops.registration end-to-end through the public entry points.
 
-Usage: python tools/reg_bench.py [n_scenes] [--cpu]
+Usage: python tools/reg_bench.py [n_scenes] [--cpu] [--time]
+(--time additionally benches the tech='time' masked-NCC backends)
 """
 
 import os
@@ -61,6 +62,16 @@ def main():
     worst = max(float(np.abs(b[i].data - c[i].data).max())
                 for i in range(n_scenes))
     print(f"batched-vs-per-scene max |d| = {worst:g} (expect 0)")
+
+    if "--time" in sys.argv:
+        # tech='time' (Padfield masked NCC): host scipy loop vs the
+        # batched device path.  Much heavier per frame (≈11 padded
+        # 255x255 FFT surfaces vs 3 plain ones), so the host/device gap
+        # is larger than for 'freq'.
+        timeit("numpy per-scene (time)",
+               lambda: register_images(oi, om, tech="time"), warm=False)
+        timeit("jax batched (time)",
+               lambda: register_images(oi, om, backend="jax", tech="time"))
 
 
 if __name__ == "__main__":
