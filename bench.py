@@ -155,6 +155,11 @@ def _wait_for_backend(tries: int = 6, delay_s: float = 60.0,
     for the life of the process, so probe in a SUBPROCESS and only
     proceed in this process once a probe succeeds (or retries are
     exhausted — then run anyway and fail with the real error).
+
+    Worst-case wait: ~tries*delay_s (~6 min) when probes fail fast, up
+    to ~tries*probe_timeout_s (~30 min) when backend init HANGS instead
+    of erroring (each hung probe burns its own probe_timeout_s and the
+    inter-attempt sleep is skipped).
     """
     import subprocess
     import sys

@@ -133,6 +133,15 @@ def register_frame(img: np.ndarray, msk: np.ndarray,
     raise ValueError(f"unknown registration technique {tech!r}")
 
 
+def _clearness_order(msk_lr) -> np.ndarray:
+    """Clearest-first frame order (descending count of nonzero QM pixels):
+    the reference contract that the clearest frame is the unregistered
+    reference frame (dataGenerator.py:632-636).  One shared definition so
+    the host, per-scene-jax, and batched-jax paths can never silently
+    disagree on ordering/tie-breaks."""
+    return np.argsort([-np.count_nonzero(m) for m in msk_lr])
+
+
 def register_image_set(img_lr: np.ndarray, msk_lr: np.ndarray,
                        tech: str = "freq") -> np.ma.masked_array:
     """Register all frames of one scene to its clearest frame.
@@ -145,7 +154,7 @@ def register_image_set(img_lr: np.ndarray, msk_lr: np.ndarray,
     img_lr/msk_lr: [numFrames, C, H, W] raw image + QM arrays.
     """
     assert img_lr.shape == msk_lr.shape, "Input shape does not match!"
-    order = np.argsort([-np.count_nonzero(m) for m in msk_lr])
+    order = _clearness_order(msk_lr)
     imgs = img_lr[order]
     msks = msk_lr[order]
     ref_img, ref_msk = imgs[0], msks[0] > 0
@@ -174,10 +183,21 @@ def register_images(all_img_lr: np.ndarray, all_msk_lr: np.ndarray,
     bucketed by frame count into chunked multi-scene device calls (see
     register_scenes_jax).
     """
-    if backend == "jax" and tech in ("freq", "time"):
+    single_channel = all(np.asarray(all_img_lr[i]).shape[1] == 1
+                         for i in range(len(all_img_lr)))
+    if backend == "jax" and tech in ("freq", "time") and single_channel:
         registered = register_scenes_jax(all_img_lr, all_msk_lr,
                                          progress=progress, tech=tech)
     else:
+        if backend == "jax" and not single_channel:
+            # The device cores decode only (dy, dx) from the correlation
+            # argmax; the host path's 3D FFT also shifts the channel
+            # axis.  C>1 never occurs in PROBA-V, but don't diverge
+            # silently if it ever does.
+            import logging
+            logging.getLogger("probav_tpu.data").warning(
+                "backend='jax' registration supports single-channel "
+                "frames only; falling back to the host path")
         sets = range(len(all_img_lr))
         if progress:
             try:
@@ -372,6 +392,8 @@ def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = None,
     (_align_time_core); its padded-FFT surfaces are ~4x the frame area
     and ~10 deep, so the default chunk is smaller.
     """
+    if tech not in ("freq", "time"):
+        raise ValueError(f"unknown registration technique {tech!r}")
     if chunk is None:
         chunk = 64 if tech == "freq" else 16
     n_scenes = len(all_img_lr)
@@ -382,22 +404,30 @@ def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = None,
     align_b = (_get_jax_align_batch() if tech == "freq"
                else _get_jax_align_time_batch())
     out: list = [None] * n_scenes
-    done = 0
+    bar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+            bar = tqdm(total=n_scenes,
+                       desc="[ INFO ] Registering LR images")
+        except Exception:
+            pass
     for shape, idxs in buckets.items():
         n_frames = shape[0]
-        # Host-side clearest-first ordering (the reference contract: the
-        # clearest frame is the unregistered reference frame).
-        imgs = np.empty((len(idxs),) + shape, np.float32)
-        msks = np.empty((len(idxs),) + shape, bool)
-        for j, i in enumerate(idxs):
-            im = np.asarray(all_img_lr[i])
-            mk = np.asarray(all_msk_lr[i])
-            order = np.argsort([-np.count_nonzero(m) for m in mk])
-            imgs[j] = im[order].astype(np.float32)
-            msks[j] = mk[order] > 0
         for s0 in range(0, len(idxs), chunk):
-            sl = slice(s0, s0 + chunk)
-            ib, mb, take = imgs[sl], msks[sl], len(imgs[sl])
+            chunk_idxs = idxs[s0:s0 + chunk]
+            take = len(chunk_idxs)
+            # Stage ONE chunk at a time, clearest-first per scene (the
+            # reference contract: the clearest frame is the unregistered
+            # reference frame) — bounds the extra host copy to chunk
+            # scenes instead of the whole bucket.
+            raw_i = np.empty((take,) + shape, np.float32)
+            raw_m = np.empty((take,) + shape, bool)
+            for j, i in enumerate(chunk_idxs):
+                order = _clearness_order(np.asarray(all_msk_lr[i]))
+                raw_i[j] = np.asarray(all_img_lr[i])[order]
+                raw_m[j] = np.asarray(all_msk_lr[i])[order] > 0
+            ib, mb = raw_i, raw_m
             if take < chunk and len(idxs) > chunk:
                 # pad to the compiled chunk shape, drop the extras below
                 pad = chunk - take
@@ -414,18 +444,15 @@ def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = None,
             else:
                 reg_i = np.empty((take, 0) + shape[1:], np.float32)
                 reg_m = np.empty((take, 0) + shape[1:], bool)
-            for j in range(take):
-                i = idxs[s0 + j]
-                oi = np.concatenate([imgs[s0 + j][:1], reg_i[j]], axis=0)
-                om = np.concatenate([msks[s0 + j][:1], reg_m[j]], axis=0)
+            for j, i in enumerate(chunk_idxs):
+                oi = np.concatenate([raw_i[j][:1], reg_i[j]], axis=0)
+                om = np.concatenate([raw_m[j][:1], reg_m[j]], axis=0)
                 out[i] = np.ma.masked_array(oi.astype(np.float64),
                                             mask=~om)
-            done += take
-            if progress:
-                import logging
-                logging.getLogger("probav_tpu.data").info(
-                    "[ INFO ] Registered %d/%d scenes (batched jax "
-                    "backend)", done, n_scenes)
+            if bar is not None:
+                bar.update(take)
+    if bar is not None:
+        bar.close()
     return out
 
 
@@ -435,7 +462,7 @@ def register_image_set_jax(img_lr: np.ndarray, msk_lr: np.ndarray) -> np.ma.mask
     """
     import jax.numpy as jnp
 
-    order = np.argsort([-np.count_nonzero(m) for m in msk_lr])
+    order = _clearness_order(msk_lr)
     imgs = img_lr[order].astype(np.float32)
     msks = (msk_lr[order] > 0)
 

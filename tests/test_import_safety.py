@@ -17,11 +17,19 @@ SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 import importlib, pkgutil
-import probav_tpu
 import jax._src.xla_bridge as xb
 
+# Snapshot BEFORE the root package import — an eager device array in
+# probav_tpu/__init__.py must fail this test too, not hide before the
+# baseline is taken.
 before = set(getattr(xb, "_backends", {}))
-for m in pkgutil.walk_packages(probav_tpu.__path__, "probav_tpu."):
+import probav_tpu
+
+def _fail(name):
+    raise ImportError(f"could not import {name}")
+
+for m in pkgutil.walk_packages(probav_tpu.__path__, "probav_tpu.",
+                               onerror=_fail):
     importlib.import_module(m.name)
 new = set(getattr(xb, "_backends", {})) - before
 assert not new, f"imports initialized backends: {sorted(new)}"
