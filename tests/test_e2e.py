@@ -39,6 +39,30 @@ def pipeline_done(workspace):
     return cfg, root
 
 
+class TestPipelineBackendVariants:
+    def test_stage2_time_tech_on_jax_backend(self, tmp_path, rng):
+        """Pipeline-level integration of --tech time --reg-backend jax:
+        stages 1-2 produce the trimmed-array contract artifacts with
+        finite values and exactly the configured frame count."""
+        raw = make_raw_tree(str(tmp_path / "raw"), bands=("NIR",),
+                            train_scenes=2, test_scenes=1, frames=5,
+                            seed=5)
+        cfg = Config.from_file(write_cfg(
+            str(tmp_path / "synth.cfg"), raw=raw,
+            out=str(tmp_path / "chkpt"),
+            model_out=str(tmp_path / "modelInfo"),
+            train_out=str(tmp_path / "trainout"),
+            test_out=str(tmp_path / "testout")))
+        pipeline.run(cfg, "NIR", ckpts=[1, 2], progress=False,
+                     registration_tech="time",
+                     registration_backend="jax")
+        for split in ("TRAIN", "TEST"):
+            img = load_npy(os.path.join(cfg.stage_dir("trimmedArrayDir"),
+                                        f"{split}imgLR_NIR.npy"))
+            assert img.shape[1] == cfg.num_low_res_imgs_pre
+            assert np.isfinite(np.asarray(img)).all()
+
+
 class TestPipelineArtifacts:
     def test_stage_artifacts_exist_with_contract_names(self, pipeline_done):
         cfg, root = pipeline_done
