@@ -31,11 +31,18 @@ def parse_args():
                    help="comma list of bands with stage-2 HR artifacts")
     p.add_argument("--norm-csv", type=str, default=None)
     p.add_argument("--out", type=str, default="comparison.png")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (hosts without an attached TPU; "
+                        "the JAX_PLATFORMS env var alone is overridden by "
+                        "TPU-site interpreter hooks)")
     return p.parse_args()
 
 
 def main():
     opt = parse_args()
+    if opt.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from probav_tpu.config import Config
     from probav_tpu.evaluation import (compare_runs, scatter_plot,
                                        load_norm_csv, normalized_score)

@@ -38,6 +38,10 @@ def parse_args():
                    help="'t' = the production fused Pallas stack; the "
                         "resolver batches scenes per device call to reach "
                         "its 128-lane alignment")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (hosts without an attached TPU; "
+                        "the JAX_PLATFORMS env var alone is overridden by "
+                        "TPU-site interpreter hooks)")
     return p.parse_args()
 
 
@@ -55,6 +59,9 @@ def restore_params(ckpt_dir: str):
 
 def main():
     opt = parse_args()
+    if opt.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from probav_tpu.config import Config
     from probav_tpu.infer import Resolver, load_removed_sets, write_submission
     from probav_tpu.models import build_model

@@ -58,6 +58,10 @@ def parse_args():
                    help="pin the dataset in device memory and train via the "
                         "lax.scan inner loop (single-chip fast path)")
     p.add_argument("--profile-dir", type=str, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (smoke runs on hosts without an "
+                        "attached TPU; the JAX_PLATFORMS env var alone is "
+                        "overridden by TPU-site interpreter hooks)")
     return p.parse_args()
 
 
@@ -164,6 +168,9 @@ def fusion_net(cfg, opt):
 
 def main():
     opt = parse_args()
+    if opt.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from probav_tpu.config import Config
     cfg = Config.from_file(opt.cfg)
     bands = ["NIR", "RED"] if opt.band.upper() == "BOTH" else [opt.band]
