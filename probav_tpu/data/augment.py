@@ -18,22 +18,37 @@ from typing import List, Optional
 import numpy as np
 
 
+def split_indices(n_samples: int, split: float,
+                  seed: int = 17) -> List[np.ndarray]:
+    """(train_idx, val_idx) with sklearn fold membership, without sklearn.
+
+    Reproduces ``sklearn.model_selection.train_test_split(test_size=split,
+    random_state=seed)`` exactly (same legacy ``RandomState(seed)``
+    permutation, same ceil/floor size rounding) so the reference's
+    random_state=17 membership (dataGenerator.py:282-284) is preserved —
+    but without paying sklearn's multi-second import in the pipeline
+    process.  Parity with real sklearn is pinned by a test.
+    """
+    import math
+
+    n_test = int(math.ceil(split * n_samples))
+    n_train = int(math.floor((1.0 - split) * n_samples))
+    perm = np.random.RandomState(seed).permutation(n_samples)
+    return [perm[n_test:n_test + n_train], perm[:n_test]]
+
+
 def split_patches(patches_lr: np.ma.masked_array,
                   patches_hr: np.ma.masked_array,
                   split: float, seed: int = 17) -> List[np.ma.masked_array]:
     """Deterministic train/val split (dataGenerator.py:276-286)."""
-    from sklearn.model_selection import train_test_split
+    tr, va = split_indices(len(patches_lr), split, seed)
 
-    lr, lr_val, m_lr, m_lr_val, hr, hr_val, m_hr, m_hr_val = train_test_split(
-        np.asarray(patches_lr), np.ma.getmaskarray(patches_lr),
-        np.asarray(patches_hr), np.ma.getmaskarray(patches_hr),
-        test_size=split, random_state=seed)
-    return [
-        np.ma.masked_array(lr, mask=m_lr),
-        np.ma.masked_array(lr_val, mask=m_lr_val),
-        np.ma.masked_array(hr, mask=m_hr),
-        np.ma.masked_array(hr_val, mask=m_hr_val),
-    ]
+    def take(arr, idx):
+        return np.ma.masked_array(np.asarray(arr)[idx],
+                                  mask=np.ma.getmaskarray(arr)[idx])
+
+    return [take(patches_lr, tr), take(patches_lr, va),
+            take(patches_hr, tr), take(patches_hr, va)]
 
 
 def augment_by_shuffling(patch_lr: np.ma.masked_array, num_permute: int,
