@@ -49,6 +49,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from probav_tpu.config import Config
     from probav_tpu.data import pipeline
+    from probav_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg = Config.from_file(opt.cfg)
     ckpts = ([int(x) for x in opt.ckpt.split(",")]

@@ -46,7 +46,9 @@ def main():
     from probav_tpu.config import Config
     from probav_tpu.evaluation import (compare_runs, scatter_plot,
                                        load_norm_csv, normalized_score)
+    from probav_tpu.utils import enable_compile_cache
 
+    enable_compile_cache()
     cfg = Config.from_file(opt.cfg)
     bands = tuple(b.strip().upper() for b in opt.bands.split(",") if b.strip())
     results = compare_runs(cfg.preprocessing_out, opt.benchmark,

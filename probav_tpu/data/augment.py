@@ -2,8 +2,9 @@
 
 Rebuild of splitPatches / augmentBy* (utils/dataGenerator.py:276-323):
 
-- the split delegates to sklearn ``train_test_split(test_size=split,
-  random_state=17)`` for bit-compatible fold membership with the reference;
+- the split reproduces sklearn ``train_test_split(test_size=split,
+  random_state=17)`` fold membership (bit-compatible with the reference)
+  in plain numpy — see ``split_indices``;
 - temporal-permutation augmentation concatenates ``num_permute`` random
   frame-order shuffles of the LR stack (HR side is tiled to match);
 - flip (V, H, VH) and rot90 (x1, x2, x3) quadruple the set each.

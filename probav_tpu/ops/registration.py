@@ -428,9 +428,16 @@ def register_scenes_jax(all_img_lr, all_msk_lr, chunk: int = None,
                 raw_i[j] = np.asarray(all_img_lr[i])[order]
                 raw_m[j] = np.asarray(all_msk_lr[i])[order] > 0
             ib, mb = raw_i, raw_m
-            if take < chunk and len(idxs) > chunk:
-                # pad to the compiled chunk shape, drop the extras below
-                pad = chunk - take
+            # Canonical batch shapes: pad every chunk up to the next power
+            # of two (capped at ``chunk``) so the set of compiled batch
+            # sizes is tiny ({1,2,4,...,chunk} per frame count) and SHARED
+            # across splits/bands/runs — with the persistent compilation
+            # cache (utils/cache.py) a 5-6-scene TEST bucket reuses the
+            # 8-scene executable instead of triggering its own multi-minute
+            # TPU FFT compile.  Extras are dropped below ([:take]).
+            target = min(chunk, 1 << max(0, (take - 1)).bit_length())
+            if take < target:
+                pad = target - take
                 ib = np.concatenate([ib, np.repeat(ib[-1:], pad, axis=0)])
                 mb = np.concatenate([mb, np.repeat(mb[-1:], pad, axis=0)])
             if n_frames > 1:

@@ -65,8 +65,10 @@ def main():
     from probav_tpu.config import Config
     from probav_tpu.infer import Resolver, load_removed_sets, write_submission
     from probav_tpu.models import build_model
+    from probav_tpu.utils import enable_compile_cache
     from probav_tpu.utils.io import load_npy
 
+    enable_compile_cache()
     cfg = Config.from_file(opt.cfg)
     data_dir = cfg.stage_dir("resolverDir")
     logger.info("[ INFO ] Loading data...")

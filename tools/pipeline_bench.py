@@ -139,6 +139,9 @@ def main():
 
     from probav_tpu.config import Config
     from probav_tpu.data import pipeline
+    from probav_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()   # what a user gets via the CLIs
 
     ws = tempfile.mkdtemp(prefix="pipeline_bench_")
     raw = os.path.join(ws, "raw")

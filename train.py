@@ -172,6 +172,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     from probav_tpu.config import Config
+    from probav_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg = Config.from_file(opt.cfg)
     bands = ["NIR", "RED"] if opt.band.upper() == "BOTH" else [opt.band]
     for band in bands:
