@@ -204,6 +204,14 @@ class TestRegistration:
             np.testing.assert_array_equal(got[i].data, want.data)
             np.testing.assert_array_equal(got[i].mask, want.mask)
 
+        # same 5 scenes with a LARGE chunk -> exercises the canonical
+        # power-of-two pad (5 scenes staged as 8, extras dropped)
+        got = register_scenes_jax(imgs, msks, chunk=8)
+        for i in range(5):
+            want = register_image_set_jax(imgs[i], msks[i])
+            np.testing.assert_array_equal(got[i].data, want.data)
+            np.testing.assert_array_equal(got[i].mask, want.mask)
+
         # ragged frame counts (the raw PROBA-V layout) via the public
         # register_images entry: object arrays in, scene order preserved
         ragged = [make_scene(n) for n in (3, 4, 3, 4)]
