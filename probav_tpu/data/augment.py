@@ -33,7 +33,11 @@ def split_indices(n_samples: int, split: float,
     import math
 
     n_test = int(math.ceil(split * n_samples))
-    n_train = int(math.floor((1.0 - split) * n_samples))
+    # sklearn with train_size=None takes the complement of the test fold,
+    # NOT floor((1-split)*n) — the two differ when (1-split)*n rounds down
+    # past an exact integer (e.g. n=90, split=0.3: floor(63.0 - eps) = 62
+    # but sklearn keeps 63), which would silently drop a training sample.
+    n_train = n_samples - n_test
     perm = np.random.RandomState(seed).permutation(n_samples)
     return [perm[n_test:n_test + n_train], perm[:n_test]]
 

@@ -17,6 +17,9 @@ class TestSplitSklearnParity:
     @pytest.mark.parametrize("n,split", [
         (10, 0.2), (768, 0.2), (97, 0.25), (5, 0.5), (3, 0.33),
         (1000, 0.1), (7, 0.2),
+        # floor((1-split)*n) != n - ceil(split*n) cases: (1-split)*n lands
+        # an epsilon below an integer and floor() would drop a train sample
+        (90, 0.3), (120, 0.3), (200, 0.3), (300, 0.33),
     ])
     def test_indices_match_sklearn(self, n, split):
         from sklearn.model_selection import train_test_split
@@ -26,6 +29,20 @@ class TestSplitSklearnParity:
         tr, va = aug.split_indices(n, split, seed=17)
         np.testing.assert_array_equal(x[tr], sk_tr)
         np.testing.assert_array_equal(x[va], sk_va)
+
+    @pytest.mark.parametrize("split", [0.3, 0.33])
+    def test_sizes_match_sklearn_formula_sweep(self, split):
+        """Every n up to 2000: the fold SIZES follow sklearn's exact
+        train_size=None formula (n_train = n - ceil(split*n)); a size
+        mismatch is the failure mode ADVICE flagged (floor() dropping a
+        training sample for e.g. n=90, split=0.3)."""
+        import math
+
+        for n in range(2, 2000):
+            tr, va = aug.split_indices(n, split, seed=17)
+            n_test = int(math.ceil(split * n))
+            assert len(va) == n_test
+            assert len(tr) == n - n_test, f"n={n}: dropped train sample"
 
     def test_split_patches_lockstep_and_masks(self, rng):
         lr = np.ma.masked_array(
