@@ -36,6 +36,7 @@ class Batcher:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
     @property
@@ -44,11 +45,15 @@ class Batcher:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
-    def epoch(self, skip: int = 0) -> Iterator[tuple]:
+    def epoch(self, skip: int = 0, rng=None) -> Iterator[tuple]:
         """One pass; ``skip`` drops the first batches WITHOUT materializing
         them (the permutation is still drawn, so a resumed run sees the
-        exact remainder an uninterrupted run would)."""
-        idx = (self._rng.permutation(self.n) if self.shuffle
+        exact remainder an uninterrupted run would).  An explicit ``rng``
+        draws the permutation from it WITHOUT consuming the batcher's own
+        stream — callers that must be resume-deterministic (the trainer's
+        validation pass) derive one from (seed, global_step)."""
+        r = self._rng if rng is None else rng
+        idx = (r.permutation(self.n) if self.shuffle
                else np.arange(self.n))
         end = (self.n - self.n % self.batch_size
                if self.drop_remainder else self.n)

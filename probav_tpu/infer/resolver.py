@@ -96,36 +96,7 @@ class Resolver:
                               batch_sharding(mesh)),
                 out_shardings=batch_sharding(mesh))
 
-        fused = getattr(model, "fused_stack", None) == "t"
-        tta_shards = 1
-        tta_mesh = getattr(model, "mesh", None)
-        if tta_mesh is not None and "data" in tta_mesh.shape:
-            tta_shards = tta_mesh.shape["data"]
-        tta_chunk = 128 * tta_shards   # 128 lanes PER DATA SHARD
-
-        @jax.jit
-        def _resolve_mean(params, patches_stack):
-            # patches_stack: [R, P, h, w, T, C] -> mean over R repeats.
-            r, p = patches_stack.shape[:2]
-            x = patches_stack.astype(jnp.float32)
-            if fused and (r * p) % tta_chunk == 0 and p % tta_chunk != 0:
-                # Flatten the (repeats, patches) axes and re-chunk into
-                # 128-lane-per-shard groups so the TTA forward also takes
-                # the fused Pallas stack; lax.map compiles one body, runs
-                # chunks sequentially (bounded memory).
-                flat = x.reshape((r * p,) + x.shape[2:])
-                chunks = flat.reshape(
-                    ((r * p) // tta_chunk, tta_chunk) + x.shape[2:])
-                preds = jax.lax.map(
-                    lambda q: model.apply({"params": params}, q), chunks)
-                preds = preds.reshape((r, p) + preds.shape[2:])
-            else:
-                preds = jax.vmap(lambda q: model.apply(
-                    {"params": params}, q))(x)
-            preds = jnp.round(jnp.clip(preds, 0.0, self.clip_max))
-            return jnp.mean(preds, axis=0)
-
-        self._resolve_mean = _resolve_mean
+        self._tta_fns = {}                       # (P, R, G) -> jitted fn
 
     # -- scene batching for the fused kernel tier ------------------------ #
 
@@ -136,11 +107,13 @@ class Resolver:
     # host while staying a ~9 MB input.
     TARGET_PATCHES_PER_CALL = 512
 
-    def _auto_group(self, num_patches: int) -> int:
+    def _auto_group(self, num_patches: int, repeats: int = 1) -> int:
         """Scenes per device call: smallest count whose combined patch
-        grid fills whole 128-lane groups per data shard (the fused
-        stack's alignment contract, models/wdsr.py), grown to at least
-        TARGET_PATCHES_PER_CALL to amortize per-dispatch latency."""
+        grid (``num_patches * repeats`` per scene — TTA multiplies the
+        per-scene work) fills whole 128-lane groups per data shard (the
+        fused stack's alignment contract, models/wdsr.py), grown to at
+        least TARGET_PATCHES_PER_CALL to amortize per-dispatch latency."""
+        per_scene = num_patches * repeats
         if getattr(self.model, "fused_stack", None) != "t":
             base = 1
         else:
@@ -149,7 +122,7 @@ class Resolver:
             if model_mesh is not None and "data" in model_mesh.shape:
                 shards = model_mesh.shape["data"]
             need = 128 * shards
-            base = math.lcm(need, num_patches) // num_patches
+            base = math.lcm(need, per_scene) // per_scene
         self._align_base = base
         if self.scenes_per_call is not None:
             # Honor the user's floor but keep the fused tier's 128-lane
@@ -158,7 +131,7 @@ class Resolver:
             # every call 192 patches and silently drop to the plain stack).
             return -(-max(1, self.scenes_per_call) // base) * base
         mult = max(1, -(-self.TARGET_PATCHES_PER_CALL //
-                        (base * num_patches)))
+                        (base * per_scene)))
         return base * mult
 
     def _group_fn(self, num_patches: int, group: int):
@@ -217,47 +190,103 @@ class Resolver:
         sr = self._resolve(self.params, jnp.asarray(patches))
         return np.asarray(reconstruct_from_patches(sr, self.scene_size))
 
-    def resolve_scene_tta(self, patches: np.ndarray, repeats: int = 20,
-                          seed: int = 0) -> np.ndarray:
-        """Temporal-permutation TTA (test.py:137-146), one device call."""
+    def _group_tta_fn(self, num_patches: int, repeats: int, group: int):
+        """Jitted (params, [G*R*P, h, w, T, C]) -> [G, S, S, C]: the TTA
+        sibling of _group_fn — forward over 128-lane-per-shard chunks,
+        clip/round each prediction (resolveBySampleAveraging rounds BEFORE
+        averaging, test.py:137-146), mean over the R temporal permutations,
+        then the on-device row-major tile paste.  One compiled call serves
+        G scenes x R repeats; mesh shardings match _group_fn."""
+        key = (num_patches, repeats, group)
+        if key in self._tta_fns:
+            return self._tta_fns[key]
+        model, scene, clip_max = self.model, self.scene_size, self.clip_max
+        shards = 1
+        model_mesh = getattr(model, "mesh", None)
+        if model_mesh is not None and "data" in model_mesh.shape:
+            shards = model_mesh.shape["data"]
+        chunk_n = 128 * shards
+
+        def fn(params, patches):
+            x = patches.astype(jnp.float32)
+            total = x.shape[0]
+            if total > chunk_n and total % chunk_n == 0:
+                # Same bounded-memory chunking as _group_fn: lax.map over
+                # 128-lane-per-shard chunks keeps the fused kernels'
+                # alignment AND caps the live expand-activation footprint.
+                chunks = x.reshape((total // chunk_n, chunk_n) + x.shape[1:])
+                pred = jax.lax.map(
+                    lambda q: model.apply({"params": params}, q), chunks)
+                pred = pred.reshape((total,) + pred.shape[2:])
+            else:
+                pred = model.apply({"params": params}, x)
+            pred = jnp.round(jnp.clip(pred, 0.0, clip_max))
+            p, c = pred.shape[1], pred.shape[-1]
+            pred = pred.reshape(group, repeats, num_patches, p, p, c)
+            pred = jnp.mean(pred, axis=1)                # avg over repeats
+            grid = scene // p
+            y = pred.reshape(group, grid, grid, p, p, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5)
+            return y.reshape(group, scene, scene, c)
+
+        if self.mesh is None:
+            jitted = jax.jit(fn)
+        else:
+            from probav_tpu.parallel import (batch_sharding,
+                                             replicated_sharding)
+            jitted = jax.jit(
+                fn,
+                in_shardings=(replicated_sharding(self.mesh),
+                              batch_sharding(self.mesh)),
+                out_shardings=replicated_sharding(self.mesh))
+        self._tta_fns[key] = jitted
+        return jitted
+
+    @staticmethod
+    def _tta_stack(patches: np.ndarray, repeats: int, seed: int):
+        """[P, h, w, T, C] -> [R*P, h, w, T, C] of temporal permutations.
+
+        Per-scene RNG seeded independently of grouping, so grouped serving
+        averages EXACTLY the permutations the one-scene path draws."""
         rng = np.random.default_rng(seed)
         t = patches.shape[3]
-        stack = np.stack([patches[:, :, :, rng.permutation(t), :]
-                          for _ in range(repeats)])
-        sr = self._resolve_mean(self.params, jnp.asarray(stack))
-        return np.asarray(reconstruct_from_patches(sr, self.scene_size))
+        return np.concatenate([patches[:, :, :, rng.permutation(t), :]
+                               for _ in range(repeats)])
+
+    def resolve_scene_tta(self, patches: np.ndarray, repeats: int = 20,
+                          seed: int = 0) -> np.ndarray:
+        """Temporal-permutation TTA (test.py:137-146), one device call
+        (forward + round/clip + mean + tile paste all on device)."""
+        p = len(patches)
+        fn = self._group_tta_fn(p, repeats, 1)
+        flat = jnp.asarray(self._tta_stack(
+            np.asarray(patches, np.float32), repeats, seed))
+        return np.asarray(fn(self.params, flat)[0])
 
     def resolve_all(self, all_patches, progress: bool = True,
-                    tta: bool = False) -> List[np.ndarray]:
+                    tta: bool = False, tta_repeats: int = 20,
+                    tta_seed: int = 0) -> List[np.ndarray]:
         """[S, P, h, w, T, C] -> list of S scenes (test.py:103-111).
 
-        Non-TTA scenes go through the grouped device call (scene batching
-        + on-device reconstruction, see class docstring); device calls are
+        Both modes go through the grouped device call (scene batching +
+        on-device reconstruction, see class docstring); with ``tta`` each
+        scene contributes ``tta_repeats`` temporal permutations and the
+        average runs on device too (_group_tta_fn).  Device calls are
         double-buffered so the fetch of group i overlaps the compute of
         group i+1.
         """
         n = len(all_patches)
-        if tta:
-            scenes = range(n)
-            if progress:
-                try:
-                    from tqdm import tqdm
-                    scenes = tqdm(scenes, desc="[ INFO ] Resolving scenes")
-                except Exception:
-                    pass
-            return [self.resolve_scene_tta(
-                np.asarray(all_patches[i], dtype=np.float32))
-                for i in scenes]
-
         num_patches = all_patches.shape[1] if hasattr(all_patches, "shape") \
             else len(all_patches[0])
+        repeats = tta_repeats if tta else 1
         # Clamp the group for small scene counts, but only to a multiple
         # of the alignment base — a clamp straight to n could break the
         # fused tier's 128-lane grouping (e.g. 3 scenes x 64 patches).
-        group = self._auto_group(num_patches)
+        group = self._auto_group(num_patches, repeats)
         base = getattr(self, "_align_base", 1)
         group = min(group, max(base, -(-max(1, n) // base) * base))
-        fn = self._group_fn(num_patches, group)
+        fn = (self._group_tta_fn(num_patches, repeats, group) if tta
+              else self._group_fn(num_patches, group))
         starts = range(0, n, group)
         if progress:
             try:
@@ -279,7 +308,13 @@ class Resolver:
             if true_n < group:   # ragged tail: pad with the last scene
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], group - true_n, axis=0)])
-            flat = jnp.asarray(chunk.reshape((-1,) + chunk.shape[2:]))
+            if tta:
+                # Per-scene permutation stacks, seeded identically to the
+                # one-scene path (grouping cannot change the average).
+                flat = jnp.asarray(np.concatenate(
+                    [self._tta_stack(s, repeats, tta_seed) for s in chunk]))
+            else:
+                flat = jnp.asarray(chunk.reshape((-1,) + chunk.shape[2:]))
             pending.append((fn(self.params, flat), true_n))
             if len(pending) > 1:
                 drain()

@@ -157,24 +157,42 @@ class ShiftCompensatedLosses:
         window is exp(-linspace/(2*sigma^2)) without squaring, and luminance
         is summed over all scales).
         """
+        return self.rev_msssim_weighted(hr, mask, pred, None)
+
+    def rev_msssim_weighted(self, hr, mask, pred, w):
+        """rev_msssim over the w>0 rows only, exactly.
+
+        ``w`` is a [B] 0/1 sample-weight vector (None = all ones).  The
+        per-scale window normalization is already per-sample, so zeroing a
+        row's contribution and replacing the reference's ``b*c`` denominator
+        with ``sum(w)*c`` reproduces bit-exactly what an unpadded batch of
+        the real rows would score — this is how the trainer keeps the
+        l1msssim validation loss exact when a ragged final batch is
+        wrap-padded for mesh/kernel alignment (ModelTrainer.eval_step)."""
         hr_s, mask_s, corr, total = self._corrected(hr, mask, pred)
 
         def per_shift(args):
             hr_c, m_c, sr_c = args
-            return self._rev_msssim_single(hr_c, m_c, sr_c)
+            return self._rev_msssim_single(hr_c, m_c, sr_c, w=w)
 
         vals = jax.vmap(per_shift)((hr_s, mask_s, corr))              # [S]
         return jnp.min(vals, axis=0)
 
-    def _rev_msssim_single(self, hr, mask, sr):
-        """One shift of computeRevMultiScaleSSIM (loss.py:189-217)."""
-        b, h, w, c = hr.shape
+    def _rev_msssim_single(self, hr, mask, sr, w=None):
+        """One shift of computeRevMultiScaleSSIM (loss.py:189-217).
+
+        ``w``: optional [B] sample weights — see rev_msssim_weighted."""
+        b, h, w_, c = hr.shape
+        if w is None:
+            w = jnp.ones((b,), jnp.float32)
+        denom = jnp.sum(w) * c
+        wb = w[:, None, None, None]                                   # [B,1,1,1]
         lin = jnp.linspace(-h / 2.0, h / 2.0, h)
         ws = []
         for sig in self.sigma:
             w1 = jnp.exp(-1.0 * lin / (2.0 * sig ** 2))
             w2 = jnp.einsum("i,j->ij", w1, w1)
-            w2 = w2.reshape(1, h, w, 1) * jnp.ones((b, 1, 1, c))
+            w2 = w2.reshape(1, h, w_, 1) * jnp.ones((b, 1, 1, c))
             w2 = w2 * mask.astype(jnp.float32)
             w2 = w2 / jnp.sum(w2, axis=(1, 2, 3), keepdims=True)
             ws.append(w2)
@@ -191,9 +209,10 @@ class ShiftCompensatedLosses:
         struct = (2.0 * cov + self.C3) / (var_hr * var_sr + self.C3)
 
         pcs = jnp.prod((con ** self.beta) * (struct ** self.gamma), axis=0)
-        loss = 1.0 - jnp.sum((lum ** self.alpha) * pcs) / (b * c)
+        loss = 1.0 - jnp.sum((lum ** self.alpha) * pcs * wb) / denom
         # Mixed with a window-weighted normalized L1 (loss.py:213-216).
-        l1w = jnp.sum(jnp.abs(hr - sr) * weights) / (b * c) / self.num_bytes
+        l1w = (jnp.sum(jnp.abs(hr - sr) * weights * wb)
+               / denom / self.num_bytes)
         return self.eta * loss + (1.0 - self.eta) * l1w
 
     # ------------------------------------------------------------------ #
@@ -238,6 +257,22 @@ class ShiftCompensatedLosses:
             "l1msssim": None,
         }
         return table[name]
+
+    def weighted(self, name: str):
+        """Sample-weighted variant fn(hr, mask, pred, w[B]) -> scalar.
+
+        Equals ``by_name(name)`` on the rows with w == 1 exactly — for the
+        per-sample-decomposable losses via a weighted mean of per_sample,
+        and for the batch-coupled rev_msssim via rev_msssim_weighted.  The
+        trainer uses this to evaluate padded validation batches exactly."""
+        if name == "l1msssim":
+            return self.rev_msssim_weighted
+        ps = self.per_sample(name)
+
+        def fn(hr, mask, pred, w):
+            return jnp.sum(ps(hr, mask, pred) * w) / jnp.sum(w)
+
+        return fn
 
 
 @functools.cache

@@ -60,7 +60,8 @@ class ModelTrainer:
                  ckpt_dir: str, log_dir: str,
                  eval_step: int = 1000, mesh=None,
                  tensor_parallel: bool = True, log_every: int = 20,
-                 loss_per_sample_fn: Optional[Callable] = None):
+                 loss_per_sample_fn: Optional[Callable] = None,
+                 loss_weighted_fn: Optional[Callable] = None):
         if (mesh is not None and tensor_parallel
                 and mesh.shape.get("model", 1) > 1
                 and getattr(model, "fused_stack", None) == "t"):
@@ -75,6 +76,10 @@ class ModelTrainer:
         # Optional per-sample [B] sibling of loss_fn (mean == loss_fn);
         # lets eval weight out padded rows exactly (see eval_step).
         self.loss_ps_fn = loss_per_sample_fn
+        # Optional (hr, mask, pred, w[B]) -> scalar sibling — exact padded
+        # eval even for batch-coupled losses (ShiftCompensatedLosses
+        # .weighted covers rev_msssim too); preferred over loss_ps_fn.
+        self.loss_w_fn = loss_weighted_fn
         self.metric_fn = metric_fn
         self.tx = optimizer
         self.mesh = mesh
@@ -102,11 +107,18 @@ class ModelTrainer:
     # ------------------------------------------------------------------ #
 
     def init_state(self, sample_lr: np.ndarray, rng_seed: int = 0) -> TrainState:
-        """Initialize (or restore) parameters and optimizer state."""
-        variables = self.model.init(jax.random.PRNGKey(rng_seed),
-                                    jnp.asarray(sample_lr))
+        """Initialize (or restore) parameters and optimizer state.
+
+        Both inits run under jit: eager flax/optax init dispatches dozens
+        of tiny ops, each a ~0.4 s compile+RPC on the tunneled TPU, and
+        none of them used to persist across processes — one jitted (and
+        disk-cached) executable apiece cuts the measured cold start by
+        ~50 s (tools/coldstart_probe.py)."""
+        variables = jax.jit(self.model.init)(jax.random.PRNGKey(rng_seed),
+                                             jnp.asarray(sample_lr))
         params = variables["params"]
-        state = TrainState(params=params, opt_state=self.tx.init(params),
+        state = TrainState(params=params,
+                           opt_state=jax.jit(self.tx.init)(params),
                            step=jnp.asarray(0, jnp.int32))
         if self.mesh is not None:
             shardings = state_shardings(state, self.mesh,
@@ -167,18 +179,21 @@ class ModelTrainer:
                                    step=state.step + 1)
             return new_state, loss, metric
 
-        loss_ps_fn = self.loss_ps_fn
+        loss_ps_fn, loss_w_fn = self.loss_ps_fn, self.loss_w_fn
 
         def eval_step(state: TrainState, lr, hr, mask, w):
             """w: [B] per-sample weights — 0 marks padded rows, so the
             metric (which gates save-best checkpointing) is exact even when
             a ragged final val batch is wrap-padded for mesh divisibility.
-            The loss uses the per-sample sibling of loss_fn when one exists
-            (exact too); only a batch-coupled loss (rev_msssim) falls back
-            to the lumped scalar, down-weighted after the fact."""
+            The loss is exact too when a weighted or per-sample sibling of
+            loss_fn is provided (ShiftCompensatedLosses.weighted covers
+            every cfg loss incl. the batch-coupled rev_msssim); only a bare
+            loss_fn with neither sibling falls back to the lumped scalar."""
             pred = model.apply({"params": state.params}, lr)
             metric = jnp.sum(metric_fn(hr, mask, pred) * w) / jnp.sum(w)
-            if loss_ps_fn is not None:
+            if loss_w_fn is not None:
+                loss = loss_w_fn(hr, mask, pred, w)
+            elif loss_ps_fn is not None:
                 loss = jnp.sum(loss_ps_fn(hr, mask, pred) * w) / jnp.sum(w)
             else:
                 loss = loss_fn(hr, mask, pred)
@@ -450,9 +465,17 @@ class ModelTrainer:
         import itertools
         test_loss, test_psnr = Mean("testLoss"), Mean("testPSNR")
         full = val_batcher.batch_size
+        # Resume-deterministic subset: draw the validation permutation from
+        # (val seed, global step) instead of the batcher's own stream, so a
+        # resumed run scores the SAME samples at the same step as an
+        # uninterrupted one would (save-best gating consumes these numbers;
+        # the batcher's stream RNG would depend on how many evals happened
+        # since process start).
+        rng = np.random.default_rng((val_batcher.seed,
+                                     int(self.state.step)))
         # Bound the SOURCE so the producer thread terminates on its own (a
         # consumer-side break would strand it blocked on the queue).
-        src = itertools.islice(val_batcher.epoch(), val_steps)
+        src = itertools.islice(val_batcher.epoch(rng=rng), val_steps)
         counts: list = []   # true sample counts, parallel to the stream
 
         # Pad ragged batches when (a) a mesh needs 'data'-axis
@@ -468,9 +491,10 @@ class ModelTrainer:
         def padded(stream):
             """Pad ragged batches BEFORE device_put — a non-divisible batch
             cannot be placed with a 'data'-axis sharding.  Pad rows get
-            weight 0, so the metric (which gates save-best) is exact; the
-            lumped loss over the padded batch is merely down-weighted by
-            true_n (a residual bias on a logged-only value)."""
+            weight 0, so the metric (which gates save-best) is exact, and
+            the loss too whenever a weighted/per-sample sibling was given
+            (see eval_step); only a bare loss_fn leaves the lumped loss
+            down-weighted by true_n (a residual bias on a logged value)."""
             for lr_b, hr_b, mask_b in stream:
                 true_n = len(lr_b)
                 w = np.ones(true_n, np.float32)

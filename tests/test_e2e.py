@@ -322,6 +322,53 @@ class TestGroupedFusedResolver:
             # largest admissible step is one grey level
             np.testing.assert_allclose(a, b, atol=1.0)
 
+    def test_grouped_tta_matches_per_scene(self, rng):
+        """TTA serving goes through the same grouped device call as the
+        non-TTA path (on-device round/clip + mean over repeats + paste);
+        grouping must not change any scene's average — the per-scene
+        permutation stacks are seeded independently of the grouping."""
+        import jax
+        import probav_tpu.ops.pallas_tstack as ts
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver
+
+        kw = dict(scale=3, num_filters=8, num_res_blocks=2, exp_rate=4,
+                  decay_rate=0.8, num_img_lr=9, patch_size_lr=16,
+                  mean=100.0, std=50.0)
+        plain = WDSRConv3D(**kw)
+        fused = WDSRConv3D(fused_stack="t", **kw)
+        patches = rng.uniform(50, 150, (3, 4, 22, 22, 9, 1)).astype(np.float32)
+        params = plain.init(jax.random.PRNGKey(0), patches[0][:1])["params"]
+
+        ref = Resolver(plain, params, scene_size=96)
+        expect = [ref.resolve_scene_tta(p, repeats=3) for p in patches]
+        assert expect[0].shape == (96, 96, 1)
+
+        got = ref.resolve_all(patches, progress=False, tta=True,
+                              tta_repeats=3)
+        assert len(got) == 3
+        for a, b in zip(got, expect):
+            np.testing.assert_allclose(a, b, atol=1.0)
+
+        # Fused tier: the auto group reaches the 128-lane alignment over
+        # repeats*patches rows (12/scene -> base 32 scenes = 384 rows),
+        # then doubles to meet the >=512-row dispatch target.
+        fr = Resolver(fused, params, scene_size=96)
+        assert fr._auto_group(4, repeats=3) == 64 and fr._align_base == 32
+        # flagship TTA: 20 repeats x 64 patches = 1280 rows, already
+        # aligned AND above the 512-row dispatch target -> 1 scene/call
+        assert fr._auto_group(64, repeats=20) == 1
+        old = ts.INTERPRET
+        ts.INTERPRET = True
+        try:
+            got_f = fr.resolve_all(patches, progress=False, tta=True,
+                                   tta_repeats=3)
+        finally:
+            ts.INTERPRET = old
+        assert len(got_f) == 3
+        for a, b in zip(got_f, expect):
+            np.testing.assert_allclose(a, b, atol=1.0)
+
     def test_chunked_group_call_matches_per_scene(self, rng):
         """Groups above 128 patches run the model over 128-lane chunks
         with lax.map inside the one jitted call (bounded VMEM); the
@@ -409,5 +456,35 @@ class TestMeshResolver:
                            scenes_per_call=8)
         got = sharded.resolve_all(patches, progress=False)
         assert len(got) == 8
+        for a, b in zip(got[:2], expect):
+            np.testing.assert_allclose(a, b, atol=1.0)
+
+    def test_sharded_tta_matches_single_device(self, rng):
+        """Grouped TTA composes with a data mesh: 4 scenes x 2 repeats x
+        64 patches = 512 rows over 2 shards (chunk_n=256) -> two in-jit
+        chunks; the sharded average must match the single-device one."""
+        import jax
+        from probav_tpu.models import WDSRConv3D
+        from probav_tpu.infer import Resolver
+        from probav_tpu.parallel import make_mesh
+
+        model = WDSRConv3D(scale=3, num_filters=4, num_res_blocks=1,
+                           exp_rate=2, decay_rate=0.8, num_img_lr=9,
+                           patch_size_lr=16, mean=100.0, std=50.0)
+        patches = rng.uniform(
+            50, 150, (4, 64, 22, 22, 9, 1)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            patches[0][:1])["params"]
+
+        single = Resolver(model, params, scene_size=384)
+        expect = [single.resolve_scene_tta(p, repeats=2)
+                  for p in patches[:2]]
+
+        mesh = make_mesh(num_data=2, num_model=1)
+        sharded = Resolver(model, params, scene_size=384, mesh=mesh,
+                           scenes_per_call=4)
+        got = sharded.resolve_all(patches, progress=False, tta=True,
+                                  tta_repeats=2)
+        assert len(got) == 4
         for a, b in zip(got[:2], expect):
             np.testing.assert_allclose(a, b, atol=1.0)

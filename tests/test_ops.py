@@ -88,6 +88,24 @@ class TestShiftLosses:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
 
+    @pytest.mark.parametrize("name", ["l1", "l2", "sobel_l1_mix",
+                                      "l1msssim"])
+    def test_weighted_losses_exact_under_padding(self, rng, losses, name):
+        # weighted(name) over a wrap-padded batch with 0-weighted pad rows
+        # must equal by_name(name) over the unpadded batch — incl. the
+        # batch-coupled rev_msssim, whose b*c denominator and luminance sum
+        # are re-derived over sum(w) (this is what keeps the trainer's
+        # padded validation loss exact for every cfg loss).
+        hr, mask, pred = make_batch(rng, b=5)
+        pad_to = 8
+        pad = lambda a: np.resize(a, (pad_to,) + a.shape[1:])
+        w = np.zeros(pad_to, np.float32)
+        w[:5] = 1.0
+        want = float(losses.by_name(name)(hr, mask, pred))
+        got = float(jax.jit(losses.weighted(name))(
+            pad(hr), pad(mask), pad(pred), w))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
     def test_by_name_dispatch(self, losses):
         assert losses.by_name("l1") == losses.l1
         assert losses.by_name("sobel_l1_mix") == losses.l1_edge

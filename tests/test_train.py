@@ -401,9 +401,9 @@ class TestFitResume:
         x, hr, mask = tiny_data(np.random.default_rng(29), n=16)
         _, ta = tiny_setup(tmp_path / "a")
         ta.init_state(x[:1], rng_seed=9)
-        ta.fit(x, [hr, mask], batch_size=8, epochs=4,
-               val_data=[x, hr, mask], val_steps=1,
-               save_best_only=False, seed=77)
+        res_a = ta.fit(x, [hr, mask], batch_size=8, epochs=4,
+                       val_data=[x, hr, mask], val_steps=1,
+                       save_best_only=False, seed=77)
         assert int(ta.state.step) == 8
 
         _, tb = tiny_setup(tmp_path / "b")
@@ -423,6 +423,28 @@ class TestFitResume:
                         jax.tree.leaves(tb2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-6)
+        # Validation is resume-deterministic too: the final eval at global
+        # step 8 draws its subset from (seed, step), so the resumed run
+        # scores the SAME samples the uninterrupted run did (save-best
+        # gating consumes these numbers).
+        np.testing.assert_allclose(res["val_psnr"], res_a["val_psnr"],
+                                   rtol=2e-5)
+        np.testing.assert_allclose(res["val_loss"], res_a["val_loss"],
+                                   rtol=2e-5)
+
+    def test_evaluate_subset_independent_of_call_history(self, tmp_path):
+        # evaluate() at a fixed global step must score the same subset no
+        # matter how many evals ran before it in this process (previously
+        # each call consumed the batcher's RNG stream, so a resumed run
+        # validated different samples than an uninterrupted one).
+        x, hr, mask = tiny_data(np.random.default_rng(3), n=16)
+        _, t = tiny_setup(tmp_path)
+        t.init_state(x[:1], rng_seed=1)
+        t._build_steps()
+        b = Batcher((x, hr, mask), 8, seed=5, drop_remainder=False)
+        first = t.evaluate(b, val_steps=1)
+        again = t.evaluate(b, val_steps=1)   # same step -> same subset
+        assert first == again
 
     def test_mid_epoch_resume_skips_consumed_batches(self, tmp_path):
         # Resume from a checkpoint that lands mid-epoch (step 2 of a

@@ -114,7 +114,8 @@ def patch_net(cfg, opt):
         model, loss_fn, losses.cpsnr, tx,
         ckpt_dir=cfg.ckpt_dir(opt.band), log_dir=cfg.log_dir(opt.band),
         eval_step=opt.eval_step, mesh=mesh,
-        loss_per_sample_fn=losses.per_sample(cfg.loss))
+        loss_per_sample_fn=losses.per_sample(cfg.loss),
+        loss_weighted_fn=losses.weighted(cfg.loss))
     trainer.init_state(x_train[:1])
 
     if opt.device_data:
@@ -155,7 +156,8 @@ def fusion_net(cfg, opt):
     tx = build_optimizer(cfg.optimizer, cfg.learning_rate)
     trainer = ModelTrainer(model, losses.l1, losses.cpsnr, tx,
                            ckpt_dir="fuseNetCkpt", log_dir="fuseNetLogs",
-                           loss_per_sample_fn=losses.per_sample("l1"))
+                           loss_per_sample_fn=losses.per_sample("l1"),
+                           loss_weighted_fn=losses.weighted("l1"))
     trainer.init_state(np.asarray(x_tr[:1], np.float32))
     trainer.fit(np.asarray(x_tr, np.float32),
                 [np.asarray(y_tr, np.float32),
