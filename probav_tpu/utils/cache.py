@@ -36,9 +36,12 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)
-        # Cache everything that takes >=1s to compile: the FFT/conv graphs
-        # we care about are seconds-to-minutes, and tiny entries are noise.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERY compile, even sub-second ones: on the tunneled
+        # backend each tiny eager-op compile costs ~0.4 s of RPC round
+        # trips, and a cold start issues dozens of them — with the default
+        # 1 s threshold they were re-compiled every process (measured:
+        # 66 s of a 107 s warm start, tools/coldstart_probe.py).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:   # cache is an optimization, never a failure
         logger.warning("persistent compile cache unavailable: %s", e)
