@@ -1,4 +1,8 @@
-"""On-chip A/B: stack_grad wall time across tile geometries (flagship)."""
+"""On-chip A/B: stack_grad wall time across tile geometries.
+
+``--filters N`` (default 32 = flagship) sweeps the N-filter topology with
+the cfg-derived widths CMID = 8N (exp_rate) and CDEC = int(0.8 N)
+(decay_rate) — e.g. 64 for the best-scoring 0.9411 model."""
 import os
 import sys
 import time
@@ -11,7 +15,11 @@ import jax.numpy as jnp
 import probav_tpu.ops.pallas_tstack as ts
 
 rng = np.random.default_rng(0)
-B, H, W, T, C, CMID, CDEC = 128, 22, 22, 9, 32, 256, 25
+FILTERS = (int(sys.argv[sys.argv.index("--filters") + 1])
+           if "--filters" in sys.argv else 32)
+B, H, W, T = 128, 22, 22, 9
+C, CMID, CDEC = FILTERS, 8 * FILTERS, int(0.8 * FILTERS)
+print(f"filters={C} cmid={CMID} cdec={CDEC}", flush=True)
 mk = lambda *s: jnp.asarray(rng.normal(0, 0.3, s), jnp.float32)
 blocks = tuple((mk(C, CMID), mk(CMID), mk(CMID, CDEC), mk(CDEC),
                 mk(3, 3, 3, CDEC, C), mk(C)) for _ in range(12))

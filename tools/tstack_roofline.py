@@ -49,7 +49,12 @@ def main():
     isz = 2 if dtype_name == "bf16" else 4
 
     B, H, W, T = 128, 22, 22, 9
-    C, CMID, CDEC = 32, 256, 25
+    # --filters N: the N-filter topology with cfg-derived widths
+    # CMID = 8N (exp_rate), CDEC = int(0.8 N) (decay_rate).  Default 32 =
+    # flagship; 64 = the best-scoring 0.9411 model (README.md:213).
+    C = (int(sys.argv[sys.argv.index("--filters") + 1])
+         if "--filters" in sys.argv else 32)
+    CMID, CDEC = 8 * C, int(0.8 * C)
     g = ts.make_geom(H, W, T, B, itemsize=isz, width=C)
     sub = ts._sub(CDEC, C)
     print(f"geom: rows={g.rows} ch_rows={g.ch_rows} grid={g.grid} "
@@ -203,7 +208,7 @@ def main():
           f"({kern_total:.2f} ms device kernel time; "
           f"{per_block:.3f} ms/block)", flush=True)
 
-    out = {"dtype": dtype_name, "kernels": rows,
+    out = {"dtype": dtype_name, "filters": C, "kernels": rows,
            "counts_per_step": {k: cnt[k] // iters for k in cnt},
            "stack_grad_wall_ms": round(stack_ms, 2),
            "stack_kernel_device_ms": round(kern_total, 2)}
