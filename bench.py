@@ -146,6 +146,50 @@ def measure_infer(dtype_name: str, fused_stack=False, iters: int = 40,
     return best
 
 
+def measure_infer_tta(dtype_name: str, fused_stack=False, repeats: int = 20,
+                      iters: int = 12) -> float:
+    """Scenes/sec of grouped temporal-permutation TTA serving — the
+    resolver's _group_tta_fn device call (forward over scenes x repeats
+    permutation stacks + on-device round/clip + mean over repeats + tile
+    paste) at the flagship geometry.  Each scene costs ``repeats`` model
+    forwards, so the compute-bound ceiling is the non-TTA rate / repeats;
+    this measurement exists to show the grouped path HOLDS that ceiling
+    (the pre-round-4 per-scene dispatch pattern fell an order of
+    magnitude below it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probav_tpu.config import Config
+    from probav_tpu.infer import Resolver
+    from probav_tpu.models import build_model
+
+    cfg = Config.from_file("cfg/p16t9c85r12.cfg")
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = build_model(cfg, "NIR", dtype=dtype, fused_stack=fused_stack)
+    rng = np.random.default_rng(0)
+    probe = rng.uniform(4000, 12000, (1, 22, 22, 9, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(probe))["params"]
+    resolver = Resolver(model, params, scene_size=384)
+    group = resolver._auto_group(64, repeats=repeats)
+    fn = resolver._group_tta_fn(64, repeats, group)
+    flat = jax.device_put(rng.uniform(
+        4000, 12000,
+        (group * repeats * 64, 22, 22, 9, 1)).astype(np.float32))
+    out = fn(params, flat)
+    jax.block_until_ready(out)
+    best = 0.0
+    for _trial in range(2):   # best-of-2: tunnel-stall robustness
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, flat)
+        jax.block_until_ready(out)
+        _ = float(jnp.asarray(out).ravel()[0])   # force queue drain
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, group / dt)
+    return best
+
+
 def _wait_for_backend(tries: int = 6, delay_s: float = 60.0,
                       probe_timeout_s: float = 300.0) -> None:
     """Block until the TPU backend initializes (bounded retries).
@@ -189,6 +233,7 @@ def main():
     fused_bf16 = measure("bf16", fused_stack="t")
     fused_f32 = measure("f32", fused_stack="t")
     infer_bf16 = measure_infer("bf16", fused_stack="t")
+    tta_bf16 = measure_infer_tta("bf16", fused_stack="t")
     print(json.dumps({
         "metric":
             "train_patches_per_sec_1chip_p16t9c85r12_b128_bf16_tstack",
@@ -201,6 +246,8 @@ def main():
             fused_f32 / ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),
         "infer_scenes_per_sec_bf16_tstack": round(infer_bf16, 1),
         "infer_patches_per_sec_bf16_tstack": round(infer_bf16 * 64, 1),
+        "infer_tta20_scenes_per_sec_bf16_tstack": round(tta_bf16, 2),
+        "infer_tta20_model_fwds_per_sec": round(tta_bf16 * 20 * 64, 1),
     }))
 
 
