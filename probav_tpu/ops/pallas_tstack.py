@@ -134,11 +134,22 @@ def _divisor_near(n: int, target: int) -> int:
 
 
 def make_geom(H: int, W: int, T: int, B: int,
-              target_rows: int = 363, target_ch: int = 33,
+              target_rows: int = None, target_ch: int = None,
               itemsize: int = 2, width: int = 32) -> Geom:
     """itemsize and channel width scale the tile down so f32 and/or
-    wide-model (64-filter) windows fit in VMEM."""
+    wide-model (64-filter) windows fit in VMEM.
+
+    Default targets are per-width measured optima (tools/geom_sweep.py,
+    on-chip): (363, 33) at the flagship 32-filter width (all dtypes);
+    (242, 22) — effective tiles (121, 11) after the VMEM scale — at
+    64 filters, where the flagship-derived tile measured 101.1 ms/stack
+    vs 95.2 ms (BENCH_NOTES.md, round 4)."""
     scale = max(1, itemsize // 2) * max(1, width // 32)
+    wide = width >= 64
+    if target_rows is None:
+        target_rows = 242 if wide else 363
+    if target_ch is None:
+        target_ch = 22 if wide else 33
     S = H * (W + 2) * (T + 2)
     rows = _divisor_near(S, max(1, target_rows // scale))
     ch_rows = _divisor_near(rows, max(1, target_ch // scale))
@@ -512,8 +523,8 @@ def from_t(x2d, g: Geom, b, h, w, t):
     return jnp.transpose(x5, (4, 1, 2, 3, 0))
 
 
-def stack_apply_5d(x5d, blocks, target_rows: int = 363,
-                   target_ch: int = 33):
+def stack_apply_5d(x5d, blocks, target_rows: int = None,
+                   target_ch: int = None):
     """Convenience: run the fused stack on a [B, H, W, T, C] batch."""
     b, h, w, t, c = x5d.shape
     g = make_geom(h, w, t, b, target_rows, target_ch,

@@ -43,6 +43,11 @@ def main(variants):
     from probav_tpu.ops import ShiftCompensatedLosses
 
     cfg = Config.from_file("cfg/p16t9c85r12.cfg")
+    if "--filters" in variants:
+        i = variants.index("--filters")
+        cfg.flat["num_filters"] = int(variants[i + 1])
+        del variants[i:i + 2]
+        print(f"filters={cfg.num_filters}", flush=True)
     batch = cfg.batch_size
     losses = ShiftCompensatedLosses(
         target_shape=(cfg.hr_patch_size, cfg.hr_patch_size, 1))
