@@ -153,6 +153,9 @@ class WDSRConv3D(nn.Module):
     remat: bool = False
     fused_block: bool = False
     fused_stack: Any = False   # False | True (flat v1) | "t" (transposed)
+    stack_loop: str = "unroll"  # "unroll" | "scan" — fused_stack="t" block
+    #                            loop form; scan = same kernels, one
+    #                            executable instance each (fast cold start)
     mesh: Any = None           # with fused_stack="t": run the stack under
     #                            shard_map, batch split over the 'data' axis
 
@@ -202,7 +205,10 @@ class WDSRConv3D(nn.Module):
             # Transposed fully-fused stack (ops/pallas_tstack.py): one
             # custom_vjp, activations in XLA's batch-minor orientation,
             # conv taps as lane shifts; identical param tree.
+            import functools
             from probav_tpu.ops.pallas_tstack import stack_apply_5d
+            apply_stack = functools.partial(stack_apply_5d,
+                                            loop=self.stack_loop)
             blocks = tuple(
                 WDSRBlock(f, self.exp_rate, self.decay_rate, k,
                           dtype=self.dtype,
@@ -217,11 +223,11 @@ class WDSRConv3D(nn.Module):
                 from jax.sharding import PartitionSpec as P
                 bspecs = jax.tree.map(lambda _: P(), blocks)
                 x = jax.shard_map(
-                    stack_apply_5d, mesh=self.mesh,
+                    apply_stack, mesh=self.mesh,
                     in_specs=(P("data"), bspecs),
                     out_specs=P("data"), check_vma=False)(x, blocks)
             else:
-                x = stack_apply_5d(x, blocks)
+                x = apply_stack(x, blocks)
         elif self.fused_stack and self.fused_stack != "t":
             # ONE custom_vjp around the whole stack (see
             # ops/pallas_block_stack.py); identical param tree.  remat is
@@ -382,7 +388,8 @@ class FuseNetConv2D(nn.Module):
 def build_model(cfg, band: str, model_type: str = "wdsr",
                 dtype: Dtype = jnp.float32, remat: bool = False,
                 fused_block: bool = False,
-                fused_stack: Any = False, mesh: Any = None) -> nn.Module:
+                fused_stack: Any = False, mesh: Any = None,
+                stack_loop: str = "unroll") -> nn.Module:
     """Construct the model described by a Config for one band.
 
     Mirrors the build call sites (train.py:66-74, test.py:48-56): kernel_size
@@ -400,7 +407,8 @@ def build_model(cfg, band: str, model_type: str = "wdsr",
     mean, std = cfg.band_stats(band)
     cls = {"wdsr": WDSRConv3D, "iwdsr": IWDSRConv3D}[model_type]
     extra = ({"remat": remat, "fused_block": fused_block,
-              "fused_stack": fused_stack, "mesh": mesh}
+              "fused_stack": fused_stack, "mesh": mesh,
+              "stack_loop": stack_loop}
              if model_type == "wdsr" else {})
     return cls(
         **extra,

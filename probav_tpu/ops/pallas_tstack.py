@@ -505,6 +505,76 @@ fused_stack_t.defvjp(_stack_fwd, _stack_bwd)
 
 
 # ---------------------------------------------------------------------- #
+# scan-over-blocks stack: identical kernels, one instance each            #
+# ---------------------------------------------------------------------- #
+
+def stack_blocks(blocks):
+    """Tuple of per-block 6-tuples -> 6-tuple of [N, ...]-stacked leaves.
+
+    All WDSR-B blocks share shapes, so the per-block effective params can
+    ride a leading block axis and feed ``lax.scan``.
+    """
+    return tuple(jnp.stack(ls) for ls in zip(*blocks))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_stack_t_scan(g: Geom, x, stacked):
+    """``fused_stack_t`` with the block loop as ``lax.scan``.
+
+    Numerically identical to the unrolled stack — the same three kernels
+    run in the same order on the same operands — but the compiled
+    executable contains ONE instance of each kernel instead of
+    ``num_res_blocks``, shrinking the serialized executable and the
+    host-side trace/lowering time roughly linearly in depth (the
+    unrolled flagship train step serializes to 58 MB and traces ~17 s;
+    BENCH_NOTES.md "cold start").  ``stacked`` is ``stack_blocks(blocks)``.
+    """
+    im = interior_mask(g, x.dtype)
+
+    def body(h, p):
+        out, _ = _block_fwd(g, h, im, p)
+        return out, None
+
+    h, _ = jax.lax.scan(body, x, stacked)
+    return h
+
+
+def _scan_stack_fwd(g: Geom, x, stacked):
+    im = interior_mask(g, x.dtype)
+
+    def body(h, p):
+        out, d = _block_fwd(g, h, im, p)
+        return out, (h, d)
+
+    h, (xs, ds) = jax.lax.scan(body, x, stacked)
+    return h, (xs, ds, stacked)
+
+
+def _scan_stack_bwd(g: Geom, res, gy):
+    xs, ds, stacked = res
+    im = interior_mask(g, gy.dtype)
+    gy = gy * im.astype(gy.dtype)   # cotangent may be junk off-interior
+
+    def body(gy, inp):
+        x, d, p = inp
+        w1, b1, w2, b2, wc, bc = p
+        gy, dwc, dw1, db1, dw2, db2, dbc = blk_bwd(
+            g, gy, d, x, wc, w1, b1, w2, im)
+        # ys are stacked at each block's ORIGINAL index (reverse=True
+        # walks back-to-front but keeps forward placement), so the grad
+        # tree lines up leaf-for-leaf with ``stacked``.
+        return gy, (dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dw2.astype(w2.dtype), db2.astype(b2.dtype),
+                    dwc.astype(wc.dtype), dbc.astype(bc.dtype))
+
+    gy, dstacked = jax.lax.scan(body, gy, (xs, ds, stacked), reverse=True)
+    return gy, dstacked
+
+
+fused_stack_t_scan.defvjp(_scan_stack_fwd, _scan_stack_bwd)
+
+
+# ---------------------------------------------------------------------- #
 # 5D <-> transposed padded-2D adapters                                    #
 # ---------------------------------------------------------------------- #
 
@@ -524,10 +594,17 @@ def from_t(x2d, g: Geom, b, h, w, t):
 
 
 def stack_apply_5d(x5d, blocks, target_rows: int = None,
-                   target_ch: int = None):
-    """Convenience: run the fused stack on a [B, H, W, T, C] batch."""
+                   target_ch: int = None, loop: str = "unroll"):
+    """Convenience: run the fused stack on a [B, H, W, T, C] batch.
+
+    ``loop="scan"`` selects the scan-over-blocks form (same kernels,
+    ~depth-times smaller executable — see ``fused_stack_t_scan``).
+    """
     b, h, w, t, c = x5d.shape
     g = make_geom(h, w, t, b, target_rows, target_ch,
                   itemsize=jnp.dtype(x5d.dtype).itemsize, width=c)
-    out = fused_stack_t(g, to_t(x5d, g), blocks)
+    if loop == "scan":
+        out = fused_stack_t_scan(g, to_t(x5d, g), stack_blocks(blocks))
+    else:
+        out = fused_stack_t(g, to_t(x5d, g), blocks)
     return from_t(out, g, b, h, w, t)

@@ -38,6 +38,11 @@ def parse_args():
                    help="'t' = the production fused Pallas stack; the "
                         "resolver batches scenes per device call to reach "
                         "its 128-lane alignment")
+    p.add_argument("--stack-loop", choices=["unroll", "scan"],
+                   default="unroll",
+                   help="fused-stack block-loop form; 'scan' compiles one "
+                        "instance per kernel (~12x smaller executable, "
+                        "fast cold start)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (hosts without an attached TPU; "
                         "the JAX_PLATFORMS env var alone is overridden by "
@@ -87,7 +92,8 @@ def main():
     model = build_model(cfg, opt.band,
                         dtype=jnp.bfloat16 if opt.bf16 else jnp.float32,
                         fused_stack=fused,
-                        mesh=mesh if fused else None)
+                        mesh=mesh if fused else None,
+                        stack_loop=opt.stack_loop)
     params = restore_params(cfg.ckpt_dir(opt.band))
 
     scene = cfg.patch_size * cfg.scale * int(np.sqrt(patches.shape[1]))

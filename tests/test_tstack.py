@@ -111,6 +111,63 @@ def test_wide_decay_channels(x5):
     assert max(jax.tree_util.tree_leaves(rel)) < 1e-4, rel
 
 
+def scan_stack(x, blocks):
+    return ts.stack_apply_5d(x, blocks, target_rows=18, target_ch=6,
+                             loop="scan")
+
+
+def test_scan_loop_forward_matches_unrolled(x5, blocks):
+    """loop='scan' runs the SAME kernels via lax.scan — outputs must
+    match the unrolled stack to numerical noise."""
+    un = t_stack(x5, blocks)
+    sc = scan_stack(x5, blocks)
+    scale = float(jnp.abs(un).max())
+    assert float(jnp.abs(sc - un).max()) < 1e-6 * scale
+
+
+def test_scan_loop_gradient_matches_unrolled(x5, blocks):
+    gu = jax.grad(lambda x, b: jnp.sum(jnp.sin(t_stack(x, b))),
+                  argnums=(0, 1))(x5, blocks)
+    gs = jax.grad(lambda x, b: jnp.sum(jnp.sin(scan_stack(x, b))),
+                  argnums=(0, 1))(x5, blocks)
+    assert jax.tree_util.tree_structure(gu) == \
+        jax.tree_util.tree_structure(gs)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() /
+                           (jnp.abs(b).max() + 1e-8)), gs, gu)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-6, rel
+
+
+def test_model_stack_loop_scan_parity():
+    """WDSRConv3D(fused_stack='t', stack_loop='scan') matches the plain
+    path with the same parameter tree (the cold-start-optimized form)."""
+    from probav_tpu.models import WDSRConv3D
+
+    kw = dict(scale=3, num_filters=8, num_res_blocks=2, exp_rate=4,
+              decay_rate=0.8, num_img_lr=7, patch_size_lr=4,
+              mean=100.0, std=50.0)
+    plain = WDSRConv3D(**kw)
+    fused = WDSRConv3D(fused_stack="t", stack_loop="scan", **kw)
+    r = np.random.default_rng(8)
+    x = jnp.asarray(r.uniform(0, 300, (2, 10, 10, 7, 1)), jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    out_p = plain.apply({"params": params}, x)
+    out_f = fused.apply({"params": params}, x)
+    scale = float(jnp.abs(out_p).max())
+    assert float(jnp.abs(out_p - out_f).max()) < 1e-4 * scale
+
+    def loss(fn, p):
+        return jnp.mean(jnp.square(fn.apply({"params": p}, x) / 100.0))
+
+    gp = jax.grad(lambda p: loss(plain, p))(params)
+    gf = jax.grad(lambda p: loss(fused, p))(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() /
+                           (jnp.abs(a).max() + 1e-8)), gp, gf)
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-3, rel
+
+
 def test_adapters_roundtrip(x5):
     g = ts.make_geom(H, W, T, B, target_rows=18, target_ch=6)
     x2 = ts.to_t(x5, g)

@@ -63,7 +63,9 @@ def main(variants):
         return build_model(cfg, "NIR", dtype=dtype,
                            remat=("remat" in variant),
                            fused_block=("block" in variant),
-                           fused_stack=fs)
+                           fused_stack=fs,
+                           stack_loop="scan" if "scan" in variant
+                           else "unroll")
 
     results = {}
     for variant in variants:

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--cache", required=True)
     ap.add_argument("--fused", default="t", choices=["t", "off"])
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--stack-loop", default="unroll",
+                    choices=["unroll", "scan"])
     ap.add_argument("--debug-cache", action="store_true",
                     help="log persistent-cache get/put traffic")
     ap.add_argument("--explain-misses", action="store_true")
@@ -90,7 +92,8 @@ def main():
     batch = cfg.batch_size
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     fused = "t" if args.fused == "t" else False
-    model = build_model(cfg, "NIR", dtype=dtype, fused_stack=fused)
+    model = build_model(cfg, "NIR", dtype=dtype, fused_stack=fused,
+                        stack_loop=args.stack_loop)
     losses = ShiftCompensatedLosses(
         target_shape=(cfg.hr_patch_size, cfg.hr_patch_size, 1))
     trainer = ModelTrainer(

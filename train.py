@@ -49,6 +49,13 @@ def parse_args():
                         "with data parallelism only, not --mesh-model > 1). "
                         "'flat' is a measured-losing archive path kept for "
                         "benchmark records — do not ship it.")
+    p.add_argument("--stack-loop", choices=["unroll", "scan"],
+                   default="unroll",
+                   help="fused-stack block-loop form. 'scan' runs the same "
+                        "kernels under lax.scan: one executable instance "
+                        "per kernel instead of num_res_blocks, so the "
+                        "serialized train step and its trace/compile/load "
+                        "cold-start cost shrink ~12x (BENCH_NOTES.md).")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
@@ -99,7 +106,8 @@ def patch_net(cfg, opt):
                         remat=opt.remat and model_type == "wdsr",
                         fused_stack=fused_stack if model_type == "wdsr"
                         else False,
-                        mesh=mesh if fused_stack == "t" else None)
+                        mesh=mesh if fused_stack == "t" else None,
+                        stack_loop=opt.stack_loop)
 
     steps_per_epoch = max(1, len(x_train) // cfg.batch_size)
     tx = build_optimizer(cfg.optimizer, cfg.learning_rate,
