@@ -241,6 +241,10 @@ def main():
         "unit": "patches/sec",
         "vs_baseline": round(fused_bf16 /
                              ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),
+        # The reference publishes no throughput; the denominator is a
+        # GTX1080ti roofline estimate (see module docstring), so every
+        # vs_baseline ratio here is measured-vs-ESTIMATE.
+        "baseline_kind": "estimate",
         "f32_tstack_patches_per_sec": round(fused_f32, 1),
         "f32_tstack_vs_baseline": round(
             fused_f32 / ESTIMATED_REFERENCE_PATCHES_PER_SEC, 2),

@@ -12,12 +12,13 @@ leaderboard score is mean(norm_i / cPSNR_i) — lower is better.
 
 from __future__ import annotations
 
+import collections
+import functools
 import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from probav_tpu.ops.shift_loss import ShiftCompensatedLosses
 from probav_tpu.utils.io import read_png, load_npy
 
 
@@ -63,21 +64,122 @@ def _scene_ids(path: str) -> Optional[list]:
     return ids
 
 
+@functools.lru_cache(maxsize=None)
+def _cpsnr_scorer(size: int, batch: int, border: int = 3,
+                  bit_depth: int = 16):
+    """One jitted scene scorer per (size, batch) — shared by every
+    per_scene_cpsnr / compare_runs call in the process.
+
+    Same math as ShiftCompensatedLosses.cpsnr (loss.py:37-53 semantics:
+    per shift, bias = sum(HR - SR*M)/sum(M), corrected = (SR+b)*M,
+    cPSNR = 10*log10(nb^2 / (sum((HR-corrected)^2)/sum(M))), max over the
+    (2*border+1)^2 shifts) but restructured for full-scene scoring: the
+    shift loop is a ``lax.scan`` that reduces each 378^2 crop to its [B]
+    sums immediately, instead of materializing the [49, B, 378, 378, 1]
+    crop stack (~1.1 GB at batch 16) the training-path loss builds.  The
+    scan body keeps the reference's elementwise op order, so values match
+    losses.cpsnr to float32 roundoff.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ms = 2 * border
+    ch = size - ms
+    nb = float(2 ** bit_depth - 1)
+
+    def fn(hr, mask, pred):
+        hr = hr.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
+        pred_c = pred.astype(jnp.float32)[
+            :, border:border + ch, border:border + ch, :]
+        c = hr.shape[3]
+
+        def one(carry, ij):
+            i, j = ij
+            hr_c = jax.lax.dynamic_slice(
+                hr, (0, i, j, 0), (batch, ch, ch, c))
+            m_c = jax.lax.dynamic_slice(
+                mask, (0, i, j, 0), (batch, ch, ch, c))
+            total = jnp.sum(m_c, axis=(1, 2, 3))
+            bias = jnp.sum(hr_c - pred_c * m_c, axis=(1, 2, 3)) / total
+            corr = (pred_c + bias[:, None, None, None]) * m_c
+            l2 = jnp.sum(jnp.square(hr_c - corr), axis=(1, 2, 3)) / total
+            return carry, l2
+
+        ij = jnp.stack(jnp.meshgrid(jnp.arange(ms + 1), jnp.arange(ms + 1),
+                                    indexing="ij"), -1).reshape(-1, 2)
+        _, l2s = jax.lax.scan(one, 0, ij)                        # [S, B]
+        val = 10.0 * (jnp.log(nb ** 2 / l2s) / jnp.log(10.0))
+        return jnp.max(val, axis=0)
+
+    return jax.jit(fn)
+
+
+def _compact(a: np.ndarray) -> np.ndarray:
+    """uint16 view of integral-valued f32 batches (PNG-derived scenes) —
+    halves the host->device transfer; non-integral data passes through."""
+    if a.dtype == np.float32 and a.size:
+        if (a.min() >= 0 and a.max() <= 65535
+                and not np.any(np.mod(a, 1.0))):
+            return a.astype(np.uint16)
+    return a
+
+
+def _score_batches(data: np.ndarray, mask: np.ndarray,
+                   preds: Sequence[np.ndarray],
+                   batch: int = 16) -> list:
+    """Score several prediction stacks against one ground truth.
+
+    The ground truth + mask transfer to the device ONCE per batch and are
+    reused for every prediction stack; ragged tails are edge-padded to the
+    canonical ``batch`` so exactly one executable serves the whole run;
+    dispatch is windowed so fetches overlap the next batch's compute.
+    """
+    import jax
+
+    n = len(data)
+    fn = _cpsnr_scorer(int(data.shape[1]), batch)
+
+    def pad(x, true_n):
+        if true_n == batch:
+            return x
+        reps = [(0, batch - true_n)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, reps, mode="edge")
+
+    outs: list = [[] for _ in preds]
+    pending: collections.deque = collections.deque()
+
+    def drain():
+        k, true_n, dev = pending.popleft()
+        outs[k].append(np.asarray(dev)[:true_n])
+
+    for s in range(0, n, batch):
+        true_n = min(batch, n - s)
+        hd = jax.device_put(_compact(pad(data[s:s + batch], true_n)))
+        md = jax.device_put(pad(mask[s:s + batch], true_n))
+        for k, p in enumerate(preds):
+            pb = _compact(pad(np.asarray(p[s:s + batch], np.float32),
+                              true_n))
+            pending.append((k, true_n, fn(hd, md, jax.device_put(pb))))
+            if len(pending) > 4:
+                drain()
+    while pending:
+        drain()
+    return [np.concatenate(o) if o else np.zeros((0,), np.float32)
+            for o in outs]
+
+
 def per_scene_cpsnr(hr: np.ma.masked_array, pred: np.ndarray,
                     batch: int = 16) -> np.ndarray:
     """Shift-compensated cPSNR per scene; hr is masked [S,H,W,1]."""
-    size = hr.shape[1]
-    losses = ShiftCompensatedLosses(target_shape=(size, size, 1),
-                                    use_pallas=False)
-    import jax
-    fn = jax.jit(losses.cpsnr)
-    out = []
-    mask = (~np.ma.getmaskarray(hr)).astype(np.float32)
+    if len(hr) == 0:
+        return np.zeros((0,), np.float32)
+    mask = ~np.ma.getmaskarray(hr)
+    if mask.ndim != np.ndim(hr):   # scalar False mask -> full clear mask
+        mask = np.ones(np.shape(hr), bool)
     data = np.asarray(hr, dtype=np.float32)
-    for s in range(0, len(hr), batch):
-        out.append(np.asarray(fn(data[s:s + batch], mask[s:s + batch],
-                                 pred[s:s + batch])))
-    return np.concatenate(out)
+    return _score_batches(data, mask, [np.asarray(pred, np.float32)],
+                          batch=min(batch, len(hr)))[0]
 
 
 def compare_runs(preprocessing_out: str, benchmark_dir: str,
@@ -154,10 +256,17 @@ def compare_runs(preprocessing_out: str, benchmark_dir: str,
         h = hr[sl]
         if len(h) == 0:
             continue
-        out[band] = {
-            "benchmark": per_scene_cpsnr(h, bench[sl]),
-            "candidate": per_scene_cpsnr(h, cand[sl]),
-        }
+        # One pass per band: ground truth + mask cross the host->device
+        # boundary once per batch and score BOTH prediction stacks.
+        mask = ~np.ma.getmaskarray(h)
+        if mask.ndim != h.ndim:
+            mask = np.ones(h.shape, bool)
+        b_sc, c_sc = _score_batches(
+            np.asarray(h, np.float32), mask,
+            [np.asarray(bench[sl], np.float32),
+             np.asarray(cand[sl], np.float32)],
+            batch=min(16, len(h)))
+        out[band] = {"benchmark": b_sc, "candidate": c_sc}
     return out
 
 
