@@ -116,13 +116,40 @@ def _cpsnr_scorer(size: int, batch: int, border: int = 3,
 
 
 def _compact(a: np.ndarray) -> np.ndarray:
-    """uint16 view of integral-valued f32 batches (PNG-derived scenes) —
-    halves the host->device transfer; non-integral data passes through."""
+    """uint16 copy of integral-valued f32 stacks (PNG-derived scenes) —
+    halves the host->device transfer; non-integral data passes through.
+
+    The integrality check is cast-and-compare, not ``np.mod`` — mod costs
+    ~3.7 s over a 146-scene stack vs ~0.12 s for the round trip (measured
+    round 5; the check itself dominated scoring wall time)."""
     if a.dtype == np.float32 and a.size:
-        if (a.min() >= 0 and a.max() <= 65535
-                and not np.any(np.mod(a, 1.0))):
-            return a.astype(np.uint16)
+        if a.min() >= 0 and a.max() <= 65535:
+            b = a.astype(np.uint16)
+            if np.array_equal(b, a):
+                return b
     return a
+
+
+def _put_sliced(x: np.ndarray, max_bytes: int = 2 << 20):
+    """device_put in <=2 MB slices, reassembled on device.
+
+    Measured on the tunneled chip (BENCH_NOTES round 5): single puts of
+    8-24 MB intermittently fall onto a ~8-60 MB/s transfer path, while
+    <=2-4 MB puts consistently ride a GB/s fast path — a 16-scene score
+    batch (~16 MB) cost ~2 s/batch through the slow path, 40x the device
+    compute.  Slicing along axis 0 keeps every message in the fast range;
+    the on-device concatenate is a cheap local copy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if x.nbytes <= max_bytes:
+        return jax.device_put(x)
+    per_row = max(1, x.nbytes // len(x))
+    rows = max(1, max_bytes // per_row)
+    pieces = [jax.device_put(x[s:s + rows])
+              for s in range(0, len(x), rows)]
+    return jnp.concatenate(pieces, axis=0)
 
 
 def _score_batches(data: np.ndarray, mask: np.ndarray,
@@ -135,10 +162,13 @@ def _score_batches(data: np.ndarray, mask: np.ndarray,
     canonical ``batch`` so exactly one executable serves the whole run;
     dispatch is windowed so fetches overlap the next batch's compute.
     """
-    import jax
-
     n = len(data)
     fn = _cpsnr_scorer(int(data.shape[1]), batch)
+
+    # Compact ONCE per stack, not per batch — the integrality check is a
+    # full-array pass, and running it per batch doubled scoring wall time.
+    data = _compact(data)
+    preds = [_compact(np.asarray(p, np.float32)) for p in preds]
 
     def pad(x, true_n):
         if true_n == batch:
@@ -155,12 +185,11 @@ def _score_batches(data: np.ndarray, mask: np.ndarray,
 
     for s in range(0, n, batch):
         true_n = min(batch, n - s)
-        hd = jax.device_put(_compact(pad(data[s:s + batch], true_n)))
-        md = jax.device_put(pad(mask[s:s + batch], true_n))
+        hd = _put_sliced(pad(data[s:s + batch], true_n))
+        md = _put_sliced(pad(mask[s:s + batch], true_n))
         for k, p in enumerate(preds):
-            pb = _compact(pad(np.asarray(p[s:s + batch], np.float32),
-                              true_n))
-            pending.append((k, true_n, fn(hd, md, jax.device_put(pb))))
+            pb = pad(p[s:s + batch], true_n)
+            pending.append((k, true_n, fn(hd, md, _put_sliced(pb))))
             if len(pending) > 4:
                 drain()
     while pending:

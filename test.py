@@ -41,8 +41,9 @@ def parse_args():
     p.add_argument("--stack-loop", choices=["unroll", "scan"],
                    default="unroll",
                    help="fused-stack block-loop form; 'scan' compiles one "
-                        "instance per kernel (~12x smaller executable, "
-                        "fast cold start)")
+                        "instance per kernel (measured 4.8x smaller "
+                        "executable and ~4x faster warm start at 26%% "
+                        "slower steady state — BENCH_NOTES.md round 5)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (hosts without an attached TPU; "
                         "the JAX_PLATFORMS env var alone is overridden by "

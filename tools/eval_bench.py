@@ -66,8 +66,10 @@ def main():
                     ).astype(np.float32)
     hidden = rng.uniform(size=data.shape) < 0.05
     hr = np.ma.masked_array(data, mask=hidden)
-    pred = np.clip(data + rng.normal(0, 300, data.shape),
-                   0, 65535).astype(np.float32)
+    # Round: product predictions are PNG-derived integers (test.py writes
+    # uint16), so the scorer's uint16 transfer compaction applies to them.
+    pred = np.round(np.clip(data + rng.normal(0, 300, data.shape),
+                            0, 65535)).astype(np.float32)
 
     results = {"scenes": args.scenes, "size": args.size,
                "batch": args.batch}

@@ -53,9 +53,13 @@ def parse_args():
                    default="unroll",
                    help="fused-stack block-loop form. 'scan' runs the same "
                         "kernels under lax.scan: one executable instance "
-                        "per kernel instead of num_res_blocks, so the "
-                        "serialized train step and its trace/compile/load "
-                        "cold-start cost shrink ~12x (BENCH_NOTES.md).")
+                        "per kernel instead of num_res_blocks. Measured on "
+                        "chip (BENCH_NOTES.md round 5): 4.8x smaller cache "
+                        "entry (16.7 vs 79.8 MB), ~4x faster warm start "
+                        "(17.7 vs 72.7 s), 9x faster first compile, but "
+                        "26%% slower steady-state (55.2 vs 43.9 ms/step) — "
+                        "use for dev iteration; keep 'unroll' for long "
+                        "production runs.")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
