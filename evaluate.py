@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--bands", type=str, default="RED,NIR",
                    help="comma list of bands with stage-2 HR artifacts")
     p.add_argument("--norm-csv", type=str, default=None)
+    p.add_argument("--score-json", type=str, default=None,
+                   help="also write per-band means + normalized score as "
+                        "JSON (machine-readable acceptance artifact)")
     p.add_argument("--out", type=str, default="comparison.png")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (hosts without an attached TPU; "
@@ -61,6 +64,12 @@ def main():
     out = scatter_plot(results, opt.out)
     logger.info("[ SAVE ] %s", out)
 
+    report = {"bands": {
+        band: {"benchmark_mean_cpsnr": float(np.mean(r["benchmark"])),
+               "candidate_mean_cpsnr": float(np.mean(r["candidate"])),
+               "scenes": int(len(r["candidate"]))}
+        for band, r in results.items()}}
+
     if opt.norm_csv:
         from probav_tpu.config import BAND_OFFSETS
         from probav_tpu.infer import load_removed_sets
@@ -79,8 +88,15 @@ def main():
                     i += 1
                 scores[f"imgset{i:04d}"] = float(v)
                 i += 1
+        report["normalized_score"] = float(normalized_score(scores, norms))
         logger.info("[ SCORE ] normalized (lower is better): %.4f",
-                    normalized_score(scores, norms))
+                    report["normalized_score"])
+
+    if opt.score_json:
+        import json
+        with open(opt.score_json, "w") as f:
+            json.dump(report, f, indent=1)
+        logger.info("[ SAVE ] %s", opt.score_json)
 
 
 if __name__ == "__main__":
