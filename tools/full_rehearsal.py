@@ -171,6 +171,10 @@ def main():
                          "copy and diff artifact digests vs numpy")
     ap.add_argument("--cpu", action="store_true",
                     help="run train/test on host CPU (harness smoke)")
+    ap.add_argument("--tiny-net", action="store_true",
+                    help="swap the flagship net for a 4-filter 1-block one "
+                         "(harness smoke — tests/test_rehearsal_smoke.py "
+                         "runs the whole loop at --scale 0.003 in minutes)")
     ap.add_argument("--fused", default="t", choices=["off", "t"])
     args = ap.parse_args()
 
@@ -187,10 +191,16 @@ def main():
     raw = os.path.join(ws, "raw")
     out = os.path.join(ws, "out")
     cfg_path = os.path.join(ws, "rehearsal.cfg")
-    with open(cfg_path, "w") as f:
-        # flagship cfg values (p16t9c85r12) with epochs overridden
-        f.write(CFG_TEMPLATE.format(raw=raw, out=out)
+    # flagship cfg values (p16t9c85r12) with epochs overridden
+    cfg_text = (CFG_TEMPLATE.format(raw=raw, out=out)
                 .replace("epochs=100", f"epochs={args.epochs}"))
+    if args.tiny_net:
+        cfg_text = (cfg_text.replace("num_filters=32", "num_filters=4")
+                    .replace("num_res_blocks=12", "num_res_blocks=1")
+                    .replace("batch_size=128", "batch_size=4")
+                    .replace("exp_rate=8", "exp_rate=2"))
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
 
     counts = {k: max(2, int(round(v * args.scale)))
               for k, v in COUNTS.items()}
@@ -282,10 +292,12 @@ def main():
     n_red = counts[("RED", "train")]
     norm_csv = os.path.join(ws, "norm.csv")
     with open(norm_csv, "w") as f:
+        # evaluate.py numbers candidates sequentially (RED then NIR), so
+        # NIR norm ids start at n_red — at scale 1.0 that is the real
+        # dataset's 594 boundary; hard-coding 594 left NIR un-normalized
+        # at any other --scale.
         f.write("scene,norm\n")
-        for i in range(n_red):
-            f.write(f"imgset{i:04d},45.0\n")
-        for i in range(594, 594 + counts[("NIR", "train")]):
+        for i in range(n_red + counts[("NIR", "train")]):
             f.write(f"imgset{i:04d},45.0\n")
     from probav_tpu.config import Config
     train_out = Config.from_file(cfg_path).out_dir("TRAIN")
