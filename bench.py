@@ -174,19 +174,57 @@ def measure_infer_tta(dtype_name: str, fused_stack=False, repeats: int = 20,
     group = resolver._auto_group(64, repeats=repeats)
     fn = resolver._group_tta_fn(64, repeats, group)
     flat = jax.device_put(rng.uniform(
-        4000, 12000,
-        (group * repeats * 64, 22, 22, 9, 1)).astype(np.float32))
-    out = fn(params, flat)
+        4000, 12000, (group * 64, 22, 22, 9, 1)).astype(np.float32))
+    perm = jax.device_put(resolver._tta_perms(9, repeats, 0))
+    out = fn(params, flat, perm)
     jax.block_until_ready(out)
     best = 0.0
     for _trial in range(2):   # best-of-2: tunnel-stall robustness
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(params, flat)
+            out = fn(params, flat, perm)
         jax.block_until_ready(out)
         _ = float(jnp.asarray(out).ravel()[0])   # force queue drain
         dt = (time.perf_counter() - t0) / iters
         best = max(best, group / dt)
+    return best
+
+
+def measure_infer_tta_e2e(dtype_name: str, fused_stack=False,
+                          repeats: int = 20, scenes: int = 24) -> float:
+    """End-to-end TTA serving scenes/sec through ``resolve_all(tta=True)``
+    — host batching + transfers + device calls + fetches, i.e. the actual
+    product path (test.py --tta), not just the grouped device call the
+    measurement above isolates.  Round-5 design moves the permutation
+    on device, so each scene's patches cross the tunnel once instead of
+    ``repeats`` times."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probav_tpu.config import Config
+    from probav_tpu.infer import Resolver
+    from probav_tpu.models import build_model
+
+    cfg = Config.from_file("cfg/p16t9c85r12.cfg")
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = build_model(cfg, "NIR", dtype=dtype, fused_stack=fused_stack)
+    rng = np.random.default_rng(0)
+    probe = rng.uniform(4000, 12000, (1, 22, 22, 9, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(probe))["params"]
+    resolver = Resolver(model, params, scene_size=384)
+    all_patches = rng.uniform(
+        4000, 12000, (scenes, 64, 22, 22, 9, 1)).astype(np.float32)
+    resolver.resolve_all(all_patches[:8], progress=False, tta=True,
+                         tta_repeats=repeats)          # compile
+    best = 0.0
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        out = resolver.resolve_all(all_patches, progress=False, tta=True,
+                                   tta_repeats=repeats)
+        dt = time.perf_counter() - t0
+        assert len(out) == scenes
+        best = max(best, scenes / dt)
     return best
 
 
@@ -234,6 +272,7 @@ def main():
     fused_f32 = measure("f32", fused_stack="t")
     infer_bf16 = measure_infer("bf16", fused_stack="t")
     tta_bf16 = measure_infer_tta("bf16", fused_stack="t")
+    tta_e2e_bf16 = measure_infer_tta_e2e("bf16", fused_stack="t")
     print(json.dumps({
         "metric":
             "train_patches_per_sec_1chip_p16t9c85r12_b128_bf16_tstack",
@@ -252,6 +291,7 @@ def main():
         "infer_patches_per_sec_bf16_tstack": round(infer_bf16 * 64, 1),
         "infer_tta20_scenes_per_sec_bf16_tstack": round(tta_bf16, 2),
         "infer_tta20_model_fwds_per_sec": round(tta_bf16 * 20 * 64, 1),
+        "infer_tta20_e2e_scenes_per_sec_bf16_tstack": round(tta_e2e_bf16, 2),
     }))
 
 

@@ -80,23 +80,46 @@ class Resolver:
         self.scenes_per_call = scenes_per_call   # None = auto (alignment)
         self.clip_max = float(2 ** bit_depth)   # test.py:118 clips to 2**16
         self._group_fns = {}                     # (P, G) -> jitted fn
+        # Band normalization as a traced argument, not baked constants:
+        # the serving executables for NIR and RED are byte-identical HLO
+        # once the (mean, std) scalars enter as data, so both bands share
+        # one persistent-cache entry (the REHEARSAL_r04 RED/NIR 4x serving
+        # asymmetry was the second band cold-compiling its own copy).
+        self._norm = jnp.asarray([getattr(model, "mean", 0.0),
+                                  getattr(model, "std", 1.0)], jnp.float32)
 
-        def _resolve_fn(params, patches):
-            pred = model.apply({"params": params}, patches.astype(jnp.float32))
+        def _resolve_fn(params, patches, norm):
+            pred = model.apply({"params": params},
+                               patches.astype(jnp.float32), norm)
             return jnp.round(jnp.clip(pred, 0.0, self.clip_max))
 
         if mesh is None:
-            self._resolve = jax.jit(_resolve_fn)
+            inner = jax.jit(_resolve_fn)
         else:
             from probav_tpu.parallel import (batch_sharding,
                                              replicated_sharding)
-            self._resolve = jax.jit(
+            inner = jax.jit(
                 _resolve_fn,
                 in_shardings=(replicated_sharding(mesh),
-                              batch_sharding(mesh)),
+                              batch_sharding(mesh),
+                              replicated_sharding(mesh)),
                 out_shardings=batch_sharding(mesh))
+        self._resolve = self._with_norm(inner)
 
         self._tta_fns = {}                       # (P, R, G) -> jitted fn
+
+    def _with_norm(self, jitted):
+        """(params, patches, *extra) public wrapper around a (params,
+        patches, norm, *extra) jitted fn — callers keep the historical
+        signature, the band's norm array is injected here, and ``.inner``
+        stays reachable for lowering inspection."""
+        norm = self._norm
+
+        def call(params, patches, *extra):
+            return jitted(params, patches, norm, *extra)
+
+        call.inner = jitted
+        return call
 
     # -- scene batching for the fused kernel tier ------------------------ #
 
@@ -148,7 +171,7 @@ class Resolver:
             shards = model_mesh.shape["data"]
         chunk_n = 128 * shards
 
-        def fn(params, patches):
+        def fn(params, patches, norm):
             x = patches.astype(jnp.float32)
             total = x.shape[0]
             if total > chunk_n and total % chunk_n == 0:
@@ -161,10 +184,11 @@ class Resolver:
                 # ~8x the wide expand activation live at once.
                 chunks = x.reshape((total // chunk_n, chunk_n) + x.shape[1:])
                 pred = jax.lax.map(
-                    lambda q: model.apply({"params": params}, q), chunks)
+                    lambda q: model.apply({"params": params}, q, norm),
+                    chunks)
                 pred = pred.reshape((total,) + pred.shape[2:])
             else:
-                pred = model.apply({"params": params}, x)
+                pred = model.apply({"params": params}, x, norm)
             pred = jnp.round(jnp.clip(pred, 0.0, clip_max))
             gp, p, _, c = pred.shape
             grid = scene // p
@@ -180,10 +204,12 @@ class Resolver:
             jitted = jax.jit(
                 fn,
                 in_shardings=(replicated_sharding(self.mesh),
-                              batch_sharding(self.mesh)),
+                              batch_sharding(self.mesh),
+                              replicated_sharding(self.mesh)),
                 out_shardings=replicated_sharding(self.mesh))
-        self._group_fns[key] = jitted
-        return jitted
+        wrapped = self._with_norm(jitted)
+        self._group_fns[key] = wrapped
+        return wrapped
 
     def resolve_scene(self, patches: np.ndarray) -> np.ndarray:
         """[P, h, w, T, C] patches -> [scene, scene, 1] uint-valued float."""
@@ -191,11 +217,17 @@ class Resolver:
         return np.asarray(reconstruct_from_patches(sr, self.scene_size))
 
     def _group_tta_fn(self, num_patches: int, repeats: int, group: int):
-        """Jitted (params, [G*R*P, h, w, T, C]) -> [G, S, S, C]: the TTA
-        sibling of _group_fn — forward over 128-lane-per-shard chunks,
-        clip/round each prediction (resolveBySampleAveraging rounds BEFORE
-        averaging, test.py:137-146), mean over the R temporal permutations,
-        then the on-device row-major tile paste.  One compiled call serves
+        """Jitted (params, [G*P, h, w, T, C], perm [R, T]) -> [G, S, S, C]:
+        the TTA sibling of _group_fn — the R temporal permutations are
+        materialized ON DEVICE by an index gather (every scene draws the
+        same R permutations, see _tta_perms), then forward over
+        128-lane-per-shard chunks, clip/round each prediction
+        (resolveBySampleAveraging rounds BEFORE averaging,
+        test.py:137-146), mean over the R permutations, and the on-device
+        row-major tile paste.  Hosting the permutation in-graph shrinks the
+        host->device transfer R-fold (~20x) vs shipping the permuted stack
+        (round-4 design), which the round-4 VERDICT flagged as the
+        unmeasured host cost of TTA serving.  One compiled call serves
         G scenes x R repeats; mesh shardings match _group_fn."""
         key = (num_patches, repeats, group)
         if key in self._tta_fns:
@@ -207,8 +239,14 @@ class Resolver:
             shards = model_mesh.shape["data"]
         chunk_n = 128 * shards
 
-        def fn(params, patches):
-            x = patches.astype(jnp.float32)
+        def fn(params, patches, norm, perm):
+            x = patches.astype(jnp.float32)          # [G*P, h, w, T, C]
+            h, w, c = x.shape[1], x.shape[2], x.shape[4]
+            t = perm.shape[1]
+            x = jnp.take(x, perm, axis=3)            # [G*P, h, w, R, T, C]
+            x = x.reshape(group, num_patches, h, w, repeats, t, c)
+            x = x.transpose(0, 4, 1, 2, 3, 5, 6)     # [G, R, P, h, w, T, C]
+            x = x.reshape(group * repeats * num_patches, h, w, t, c)
             total = x.shape[0]
             if total > chunk_n and total % chunk_n == 0:
                 # Same bounded-memory chunking as _group_fn: lax.map over
@@ -216,10 +254,11 @@ class Resolver:
                 # alignment AND caps the live expand-activation footprint.
                 chunks = x.reshape((total // chunk_n, chunk_n) + x.shape[1:])
                 pred = jax.lax.map(
-                    lambda q: model.apply({"params": params}, q), chunks)
+                    lambda q: model.apply({"params": params}, q, norm),
+                    chunks)
                 pred = pred.reshape((total,) + pred.shape[2:])
             else:
-                pred = model.apply({"params": params}, x)
+                pred = model.apply({"params": params}, x, norm)
             pred = jnp.round(jnp.clip(pred, 0.0, clip_max))
             p, c = pred.shape[1], pred.shape[-1]
             pred = pred.reshape(group, repeats, num_patches, p, p, c)
@@ -237,31 +276,35 @@ class Resolver:
             jitted = jax.jit(
                 fn,
                 in_shardings=(replicated_sharding(self.mesh),
-                              batch_sharding(self.mesh)),
+                              batch_sharding(self.mesh),
+                              replicated_sharding(self.mesh),
+                              replicated_sharding(self.mesh)),
                 out_shardings=replicated_sharding(self.mesh))
-        self._tta_fns[key] = jitted
-        return jitted
+        wrapped = self._with_norm(jitted)
+        self._tta_fns[key] = wrapped
+        return wrapped
 
     @staticmethod
-    def _tta_stack(patches: np.ndarray, repeats: int, seed: int):
-        """[P, h, w, T, C] -> [R*P, h, w, T, C] of temporal permutations.
+    def _tta_perms(t: int, repeats: int, seed: int) -> np.ndarray:
+        """[R, T] int32 temporal permutations, one shared table per run.
 
-        Per-scene RNG seeded independently of grouping, so grouped serving
-        averages EXACTLY the permutations the one-scene path draws."""
+        Every scene draws the SAME R permutations (the per-scene RNG was
+        always seeded with the run's seed, independent of grouping), so
+        the table is computed once and gathered in-graph — results are
+        bit-identical to permuting each scene's stack on the host."""
         rng = np.random.default_rng(seed)
-        t = patches.shape[3]
-        return np.concatenate([patches[:, :, :, rng.permutation(t), :]
-                               for _ in range(repeats)])
+        return np.stack([rng.permutation(t)
+                         for _ in range(repeats)]).astype(np.int32)
 
     def resolve_scene_tta(self, patches: np.ndarray, repeats: int = 20,
                           seed: int = 0) -> np.ndarray:
         """Temporal-permutation TTA (test.py:137-146), one device call
-        (forward + round/clip + mean + tile paste all on device)."""
+        (permute + forward + round/clip + mean + tile paste on device)."""
         p = len(patches)
         fn = self._group_tta_fn(p, repeats, 1)
-        flat = jnp.asarray(self._tta_stack(
-            np.asarray(patches, np.float32), repeats, seed))
-        return np.asarray(fn(self.params, flat)[0])
+        flat = jnp.asarray(np.asarray(patches, np.float32))
+        perm = jnp.asarray(self._tta_perms(patches.shape[3], repeats, seed))
+        return np.asarray(fn(self.params, flat, perm)[0])
 
     def resolve_all(self, all_patches, progress: bool = True,
                     tta: bool = False, tta_repeats: int = 20,
@@ -302,20 +345,24 @@ class Resolver:
             dev, true_n = pending.popleft()
             out.extend(np.asarray(dev)[:true_n])
 
+        perm = None
+        if tta:
+            # One shared permutation table for the run, gathered in-graph
+            # (_group_tta_fn) — identical averages to the one-scene path,
+            # with the host->device transfer R-fold smaller than shipping
+            # permuted copies.
+            t_axis = np.shape(all_patches[0])[3]
+            perm = jnp.asarray(self._tta_perms(t_axis, repeats, tta_seed))
+
         for i in starts:
             chunk = np.asarray(all_patches[i:i + group], dtype=np.float32)
             true_n = len(chunk)
             if true_n < group:   # ragged tail: pad with the last scene
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], group - true_n, axis=0)])
-            if tta:
-                # Per-scene permutation stacks, seeded identically to the
-                # one-scene path (grouping cannot change the average).
-                flat = jnp.asarray(np.concatenate(
-                    [self._tta_stack(s, repeats, tta_seed) for s in chunk]))
-            else:
-                flat = jnp.asarray(chunk.reshape((-1,) + chunk.shape[2:]))
-            pending.append((fn(self.params, flat), true_n))
+            flat = jnp.asarray(chunk.reshape((-1,) + chunk.shape[2:]))
+            pending.append((fn(self.params, flat, perm) if tta
+                            else fn(self.params, flat), true_n))
             if len(pending) > 1:
                 drain()
         while pending:

@@ -10,7 +10,13 @@ TPU-first rebuild of the reference model family (models/modelsTF.py):
   collapses the T axis to 1 while trimming H,W from patch+6 to patch, a conv
   to scale^2 channels, and a depth-to-space pixel shuffle.  The residual path
   averages the frames and runs ``scale`` valid 2D convs + pixel shuffle.
-  Dataset mean/std normalization and denormalization are in-graph constants.
+  Dataset mean/std normalization defaults to in-graph constants; production
+  call sites (trainer, resolver) instead pass ``norm=[mean, std]`` as a
+  TRACED argument so the compiled executable is band-independent — the
+  NIR and RED graphs are otherwise byte-identical HLO, and baking the
+  band stats as constants forced a full recompile per band (a ~384 s
+  fused-tier compile observed as the REHEARSAL_r04 RED/NIR serving
+  asymmetry).
 
 - ``IWDSRConv3D`` — the instance-norm + mish variant (modelsTF.py:206-388).
 
@@ -160,20 +166,25 @@ class WDSRConv3D(nn.Module):
     #                            shard_map, batch split over the 'data' axis
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, norm=None) -> jnp.ndarray:
         if x.ndim != 5 or x.shape[3] != self.num_img_lr:
             raise ValueError(
                 f"WDSRConv3D expects [B, H, W, T={self.num_img_lr}, C] "
                 f"input, got {x.shape}")
+        # norm: optional [2] array (mean, std) passed as traced data so one
+        # compiled executable serves every band (see module docstring);
+        # None falls back to the baked attribute constants.
+        mean, std = ((self.mean, self.std) if norm is None
+                     else (norm[0], norm[1]))
         x = x.astype(jnp.float32)
         mean_lr = jnp.mean(x, axis=3)                     # [B, H, W, C]
-        xn = ((x - self.mean) / self.std).astype(self.dtype)
-        mn = ((mean_lr - self.mean) / self.std).astype(self.dtype)
+        xn = ((x - mean) / std).astype(self.dtype)
+        mn = ((mean_lr - mean) / std).astype(self.dtype)
 
         main = self._main_path(xn)
         residual = self._residual_path(mn)
         out = main + residual
-        return out.astype(jnp.float32) * self.std + self.mean
+        return out.astype(jnp.float32) * std + mean
 
     # -- high-frequency path (modelsTF.py:55-74) ------------------------- #
 
@@ -300,11 +311,13 @@ class IWDSRConv3D(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, norm=None) -> jnp.ndarray:
+        mean, std = ((self.mean, self.std) if norm is None
+                     else (norm[0], norm[1]))
         x = x.astype(jnp.float32)
         mean_lr = jnp.mean(x, axis=3)
-        xn = ((x - self.mean) / self.std).astype(self.dtype)
-        mn = ((mean_lr - self.mean) / self.std).astype(self.dtype)
+        xn = ((x - mean) / std).astype(self.dtype)
+        mn = ((mean_lr - mean) / std).astype(self.dtype)
 
         f, k = self.num_filters, self.kernel_size
         h = self._conv_in(xn, f, k, "SAME", "mish", "mainConv1")
@@ -336,7 +349,7 @@ class IWDSRConv3D(nn.Module):
         residual = depth_to_space(r, self.scale)
 
         out = (main + residual).astype(jnp.float32)
-        return out * self.std + self.mean
+        return out * std + mean
 
 
 class FuseNetConv2D(nn.Module):
@@ -351,7 +364,11 @@ class FuseNetConv2D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, norm=None) -> jnp.ndarray:
+        # norm accepted for call-signature uniformity with the WDSR family
+        # (the trainer/resolver pass it unconditionally); FuseNet has no
+        # dataset normalization in the reference (modelsTF.py:391-474).
+        del norm
         x = x.astype(self.dtype)
         if self.variant == "v3":
             h = nn.Conv(64, (48, 48), padding="SAME", dtype=self.dtype,

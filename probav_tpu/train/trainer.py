@@ -101,6 +101,13 @@ class ModelTrainer:
         self.state: Optional[TrainState] = None
         self._jit_train = None
         self._jit_eval = None
+        # Band normalization as DATA: passed into every compiled step as a
+        # traced [2] array instead of baked constants, so the NIR and RED
+        # executables are the same persistent-cache entry (models/wdsr.py
+        # module docstring; fixes the per-band ~384 s recompile seen as the
+        # REHEARSAL_r04 RED/NIR serving asymmetry).
+        self._norm = jnp.asarray([getattr(model, "mean", 0.0),
+                                  getattr(model, "std", 1.0)], jnp.float32)
 
     # ------------------------------------------------------------------ #
     # state init / checkpointing                                          #
@@ -115,7 +122,8 @@ class ModelTrainer:
         disk-cached) executable apiece cuts the measured cold start by
         ~50 s (tools/coldstart_probe.py)."""
         variables = jax.jit(self.model.init)(jax.random.PRNGKey(rng_seed),
-                                             jnp.asarray(sample_lr))
+                                             jnp.asarray(sample_lr),
+                                             self._norm)
         params = variables["params"]
         state = TrainState(params=params,
                            opt_state=jax.jit(self.tx.init)(params),
@@ -164,9 +172,9 @@ class ModelTrainer:
         model, loss_fn, metric_fn, tx = (self.model, self.loss_fn,
                                          self.metric_fn, self.tx)
 
-        def train_step(state: TrainState, lr, hr, mask):
+        def train_step(state: TrainState, lr, hr, mask, norm):
             def objective(params):
-                pred = model.apply({"params": params}, lr)
+                pred = model.apply({"params": params}, lr, norm)
                 return loss_fn(hr, mask, pred), pred
 
             (loss, pred), grads = jax.value_and_grad(
@@ -181,7 +189,7 @@ class ModelTrainer:
 
         loss_ps_fn, loss_w_fn = self.loss_ps_fn, self.loss_w_fn
 
-        def eval_step(state: TrainState, lr, hr, mask, w):
+        def eval_step(state: TrainState, lr, hr, mask, w, norm):
             """w: [B] per-sample weights — 0 marks padded rows, so the
             metric (which gates save-best checkpointing) is exact even when
             a ragged final val batch is wrap-padded for mesh divisibility.
@@ -189,7 +197,7 @@ class ModelTrainer:
             loss_fn is provided (ShiftCompensatedLosses.weighted covers
             every cfg loss incl. the batch-coupled rev_msssim); only a bare
             loss_fn with neither sibling falls back to the lumped scalar."""
-            pred = model.apply({"params": state.params}, lr)
+            pred = model.apply({"params": state.params}, lr, norm)
             metric = jnp.sum(metric_fn(hr, mask, pred) * w) / jnp.sum(w)
             if loss_w_fn is not None:
                 loss = loss_w_fn(hr, mask, pred, w)
@@ -200,21 +208,35 @@ class ModelTrainer:
             return loss, metric
 
         if self.mesh is None:
-            self._jit_train = jax.jit(train_step, donate_argnums=0)
-            self._jit_eval = jax.jit(eval_step)
+            jit_train = jax.jit(train_step, donate_argnums=0)
+            jit_eval = jax.jit(eval_step)
         else:
             st_sh = state_shardings(self.state, self.mesh,
                                     self.tensor_parallel)
             b_sh = batch_sharding(self.mesh)
             r_sh = replicated_sharding(self.mesh)
-            self._jit_train = jax.jit(
+            jit_train = jax.jit(
                 train_step, donate_argnums=0,
-                in_shardings=(st_sh, b_sh, b_sh, b_sh),
+                in_shardings=(st_sh, b_sh, b_sh, b_sh, r_sh),
                 out_shardings=(st_sh, r_sh, r_sh))
-            self._jit_eval = jax.jit(
+            jit_eval = jax.jit(
                 eval_step,
-                in_shardings=(st_sh, b_sh, b_sh, b_sh, b_sh),
+                in_shardings=(st_sh, b_sh, b_sh, b_sh, b_sh, r_sh),
                 out_shardings=(r_sh, r_sh))
+
+        # Public dispatch keeps the historical (state, lr, hr, mask[, w])
+        # signature; the band's norm array is injected here.  The raw
+        # jitted fns stay reachable (``.inner``) for lowering inspection.
+        norm = self._norm
+
+        def _train(state, lr, hr, mask):
+            return jit_train(state, lr, hr, mask, norm)
+
+        def _eval(state, lr, hr, mask, w):
+            return jit_eval(state, lr, hr, mask, w, norm)
+
+        _train.inner, _eval.inner = jit_train, jit_eval
+        self._jit_train, self._jit_eval = _train, _eval
 
     # ------------------------------------------------------------------ #
     # fit loop (reference fitTrainData, trainClass.py:61-122)             #
@@ -374,11 +396,13 @@ class ModelTrainer:
         xd, hrd, maskd = put(x), put(hr), put(mask)
 
         @partial(jax.jit, donate_argnums=0)
-        def scan_steps(state: TrainState, idx: jnp.ndarray, xd, hrd, maskd):
+        def scan_steps(state: TrainState, idx: jnp.ndarray, xd, hrd, maskd,
+                       norm):
             """idx: [K, batch] int32 — K fused train steps on device.
 
             The dataset arrays are explicit arguments (closing over them
-            would bake hundreds of MB of constants into the executable).
+            would bake hundreds of MB of constants into the executable);
+            so is the band norm (band-independent executable).
             """
 
             def body(st, batch_idx):
@@ -387,7 +411,7 @@ class ModelTrainer:
                 mb = jnp.take(maskd, batch_idx, axis=0)
 
                 def objective(params):
-                    pred = model.apply({"params": params}, lb)
+                    pred = model.apply({"params": params}, lb, norm)
                     return loss_fn(hb, mb, pred), pred
 
                 (loss, pred), grads = jax.value_and_grad(
@@ -428,7 +452,7 @@ class ModelTrainer:
                     continue
                 idx = jnp.asarray(perm[start:start + chunk])
                 self.state, mean_loss, mean_psnr = scan_steps(
-                    self.state, idx, xd, hrd, maskd)
+                    self.state, idx, xd, hrd, maskd, self._norm)
                 global_step += idx.shape[0]
                 seen += idx.size
                 self.logger_.scalar("Train loss", float(mean_loss),
