@@ -159,9 +159,11 @@ class WDSRConv3D(nn.Module):
     remat: bool = False
     fused_block: bool = False
     fused_stack: Any = False   # False | True (flat v1) | "t" (transposed)
-    stack_loop: str = "unroll"  # "unroll" | "scan" — fused_stack="t" block
-    #                            loop form; scan = same kernels, one
-    #                            executable instance each (fast cold start)
+    stack_loop: str = "unroll"  # "unroll" | "scan" | "scan:<k>" —
+    #                            fused_stack="t" block loop form; scan =
+    #                            same kernels, one executable instance each
+    #                            (fast cold start); scan:<k> unrolls k
+    #                            blocks per scan iteration (middle ground)
     mesh: Any = None           # with fused_stack="t": run the stack under
     #                            shard_map, batch split over the 'data' axis
 

@@ -517,8 +517,8 @@ def stack_blocks(blocks):
     return tuple(jnp.stack(ls) for ls in zip(*blocks))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_stack_t_scan(g: Geom, x, stacked):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def fused_stack_t_scan(g: Geom, x, stacked, unroll: int = 1):
     """``fused_stack_t`` with the block loop as ``lax.scan``.
 
     Numerically identical to the unrolled stack — the same three kernels
@@ -528,6 +528,12 @@ def fused_stack_t_scan(g: Geom, x, stacked):
     host-side trace/lowering time roughly linearly in depth (the
     unrolled flagship train step serializes to 58 MB and traces ~17 s;
     BENCH_NOTES.md "cold start").  ``stacked`` is ``stack_blocks(blocks)``.
+
+    ``unroll`` (lax.scan's own unroll factor) is the middle ground:
+    ``unroll=k`` puts k block bodies inside one loop iteration, so XLA
+    can pipeline/fuse across adjacent blocks within each group (the
+    reason full unroll is fastest in steady state) while the executable
+    still holds only k instances of each kernel instead of depth.
     """
     im = interior_mask(g, x.dtype)
 
@@ -535,22 +541,22 @@ def fused_stack_t_scan(g: Geom, x, stacked):
         out, _ = _block_fwd(g, h, im, p)
         return out, None
 
-    h, _ = jax.lax.scan(body, x, stacked)
+    h, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return h
 
 
-def _scan_stack_fwd(g: Geom, x, stacked):
+def _scan_stack_fwd(g: Geom, x, stacked, unroll: int = 1):
     im = interior_mask(g, x.dtype)
 
     def body(h, p):
         out, d = _block_fwd(g, h, im, p)
         return out, (h, d)
 
-    h, (xs, ds) = jax.lax.scan(body, x, stacked)
+    h, (xs, ds) = jax.lax.scan(body, x, stacked, unroll=unroll)
     return h, (xs, ds, stacked)
 
 
-def _scan_stack_bwd(g: Geom, res, gy):
+def _scan_stack_bwd(g: Geom, unroll: int, res, gy):
     xs, ds, stacked = res
     im = interior_mask(g, gy.dtype)
     gy = gy * im.astype(gy.dtype)   # cotangent may be junk off-interior
@@ -567,7 +573,8 @@ def _scan_stack_bwd(g: Geom, res, gy):
                     dw2.astype(w2.dtype), db2.astype(b2.dtype),
                     dwc.astype(wc.dtype), dbc.astype(bc.dtype))
 
-    gy, dstacked = jax.lax.scan(body, gy, (xs, ds, stacked), reverse=True)
+    gy, dstacked = jax.lax.scan(body, gy, (xs, ds, stacked), reverse=True,
+                                unroll=unroll)
     return gy, dstacked
 
 
@@ -593,18 +600,37 @@ def from_t(x2d, g: Geom, b, h, w, t):
     return jnp.transpose(x5, (4, 1, 2, 3, 0))
 
 
+def parse_loop(loop: str):
+    """``"unroll" | "scan" | "scan:<k>"`` -> (kind, unroll_factor)."""
+    if loop == "unroll":
+        return "unroll", 0
+    if loop == "scan":
+        return "scan", 1
+    if loop.startswith("scan:"):
+        k = int(loop.split(":", 1)[1])
+        if k < 1:
+            raise ValueError(f"scan unroll factor must be >= 1: {loop!r}")
+        return "scan", k
+    raise ValueError(f"unknown stack loop form {loop!r} "
+                     "(expected 'unroll', 'scan', or 'scan:<k>')")
+
+
 def stack_apply_5d(x5d, blocks, target_rows: int = None,
                    target_ch: int = None, loop: str = "unroll"):
     """Convenience: run the fused stack on a [B, H, W, T, C] batch.
 
     ``loop="scan"`` selects the scan-over-blocks form (same kernels,
-    ~depth-times smaller executable — see ``fused_stack_t_scan``).
+    ~depth-times smaller executable — see ``fused_stack_t_scan``);
+    ``loop="scan:<k>"`` additionally unrolls k blocks per scan
+    iteration (executable ~depth/k kernel instances, steady state
+    closer to full unroll).
     """
     b, h, w, t, c = x5d.shape
     g = make_geom(h, w, t, b, target_rows, target_ch,
                   itemsize=jnp.dtype(x5d.dtype).itemsize, width=c)
-    if loop == "scan":
-        out = fused_stack_t_scan(g, to_t(x5d, g), stack_blocks(blocks))
+    kind, k = parse_loop(loop)
+    if kind == "scan":
+        out = fused_stack_t_scan(g, to_t(x5d, g), stack_blocks(blocks), k)
     else:
         out = fused_stack_t(g, to_t(x5d, g), blocks)
     return from_t(out, g, b, h, w, t)

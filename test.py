@@ -38,12 +38,13 @@ def parse_args():
                    help="'t' = the production fused Pallas stack; the "
                         "resolver batches scenes per device call to reach "
                         "its 128-lane alignment")
-    p.add_argument("--stack-loop", choices=["unroll", "scan"],
-                   default="unroll",
-                   help="fused-stack block-loop form; 'scan' compiles one "
-                        "instance per kernel (measured 4.8x smaller "
-                        "executable and ~4x faster warm start at 26%% "
-                        "slower steady state — BENCH_NOTES.md round 5)")
+    p.add_argument("--stack-loop", default="unroll",
+                   help="fused-stack block-loop form ('unroll', 'scan', or "
+                        "'scan:<k>'); 'scan' compiles one instance per "
+                        "kernel (measured 4.8x smaller executable and ~4x "
+                        "faster warm start at 26%% slower steady state — "
+                        "BENCH_NOTES.md round 5); 'scan:<k>' unrolls k "
+                        "blocks per scan iteration")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (hosts without an attached TPU; "
                         "the JAX_PLATFORMS env var alone is overridden by "

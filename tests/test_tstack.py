@@ -111,24 +111,31 @@ def test_wide_decay_channels(x5):
     assert max(jax.tree_util.tree_leaves(rel)) < 1e-4, rel
 
 
-def scan_stack(x, blocks):
+def scan_stack(x, blocks, loop="scan"):
     return ts.stack_apply_5d(x, blocks, target_rows=18, target_ch=6,
-                             loop="scan")
+                             loop=loop)
 
 
-def test_scan_loop_forward_matches_unrolled(x5, blocks):
-    """loop='scan' runs the SAME kernels via lax.scan — outputs must
+# scan:2 does not divide NBLK=3 — exercises lax.scan's remainder path;
+# scan:3 fully unrolls inside one scan iteration.
+SCAN_LOOPS = ["scan", "scan:2", "scan:3"]
+
+
+@pytest.mark.parametrize("loop", SCAN_LOOPS)
+def test_scan_loop_forward_matches_unrolled(x5, blocks, loop):
+    """loop='scan[:k]' runs the SAME kernels via lax.scan — outputs must
     match the unrolled stack to numerical noise."""
     un = t_stack(x5, blocks)
-    sc = scan_stack(x5, blocks)
+    sc = scan_stack(x5, blocks, loop)
     scale = float(jnp.abs(un).max())
     assert float(jnp.abs(sc - un).max()) < 1e-6 * scale
 
 
-def test_scan_loop_gradient_matches_unrolled(x5, blocks):
+@pytest.mark.parametrize("loop", SCAN_LOOPS)
+def test_scan_loop_gradient_matches_unrolled(x5, blocks, loop):
     gu = jax.grad(lambda x, b: jnp.sum(jnp.sin(t_stack(x, b))),
                   argnums=(0, 1))(x5, blocks)
-    gs = jax.grad(lambda x, b: jnp.sum(jnp.sin(scan_stack(x, b))),
+    gs = jax.grad(lambda x, b: jnp.sum(jnp.sin(scan_stack(x, b, loop))),
                   argnums=(0, 1))(x5, blocks)
     assert jax.tree_util.tree_structure(gu) == \
         jax.tree_util.tree_structure(gs)
@@ -136,6 +143,16 @@ def test_scan_loop_gradient_matches_unrolled(x5, blocks):
         lambda a, b: float(jnp.abs(a - b).max() /
                            (jnp.abs(b).max() + 1e-8)), gs, gu)
     assert max(jax.tree_util.tree_leaves(rel)) < 1e-6, rel
+
+
+def test_parse_loop():
+    assert ts.parse_loop("unroll") == ("unroll", 0)
+    assert ts.parse_loop("scan") == ("scan", 1)
+    assert ts.parse_loop("scan:4") == ("scan", 4)
+    with pytest.raises(ValueError):
+        ts.parse_loop("scan:0")
+    with pytest.raises(ValueError):
+        ts.parse_loop("rolled")
 
 
 def test_model_stack_loop_scan_parity():

@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WATCHDOG_SEC = 1800
 
 
+def _loop_of(variant):
+    """Variant suffix -> stack_loop: ..._scan = scan, ..._scanK = scan:K."""
+    for tok in variant.split("_"):
+        if tok == "scan":
+            return "scan"
+        if tok.startswith("scan") and tok[4:].isdigit():
+            return f"scan:{tok[4:]}"
+    return "unroll"
+
+
 def arm_watchdog():
     def boom():
         print("[watchdog] hard exit", flush=True)
@@ -64,8 +74,7 @@ def main(variants):
                            remat=("remat" in variant),
                            fused_block=("block" in variant),
                            fused_stack=fs,
-                           stack_loop="scan" if "scan" in variant
-                           else "unroll")
+                           stack_loop=_loop_of(variant))
 
     results = {}
     for variant in variants:

@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--fused", default="t", choices=["t", "off"])
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--stack-loop", default="unroll",
-                    choices=["unroll", "scan"])
+                    help="'unroll', 'scan', or 'scan:<k>'")
     ap.add_argument("--debug-cache", action="store_true",
                     help="log persistent-cache get/put traffic")
     ap.add_argument("--explain-misses", action="store_true")

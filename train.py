@@ -49,17 +49,18 @@ def parse_args():
                         "with data parallelism only, not --mesh-model > 1). "
                         "'flat' is a measured-losing archive path kept for "
                         "benchmark records — do not ship it.")
-    p.add_argument("--stack-loop", choices=["unroll", "scan"],
-                   default="unroll",
-                   help="fused-stack block-loop form. 'scan' runs the same "
-                        "kernels under lax.scan: one executable instance "
-                        "per kernel instead of num_res_blocks. Measured on "
-                        "chip (BENCH_NOTES.md round 5): 4.8x smaller cache "
+    p.add_argument("--stack-loop", default="unroll",
+                   help="fused-stack block-loop form: 'unroll', 'scan', or "
+                        "'scan:<k>'. 'scan' runs the same kernels under "
+                        "lax.scan: one executable instance per kernel "
+                        "instead of num_res_blocks. Measured on chip "
+                        "(BENCH_NOTES.md round 5): 4.8x smaller cache "
                         "entry (16.7 vs 79.8 MB), ~4x faster warm start "
                         "(17.7 vs 72.7 s), 9x faster first compile, but "
                         "26%% slower steady-state (55.2 vs 43.9 ms/step) — "
                         "use for dev iteration; keep 'unroll' for long "
-                        "production runs.")
+                        "production runs. 'scan:<k>' unrolls k blocks per "
+                        "scan iteration (middle ground, see BENCH_NOTES).")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
