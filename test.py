@@ -44,7 +44,7 @@ def parse_args():
                         "kernel (measured 4.8x smaller executable and ~4x "
                         "faster warm start at 26%% slower steady state — "
                         "BENCH_NOTES.md round 5); 'scan:<k>' unrolls k "
-                        "blocks per scan iteration")
+                        "blocks per scan iteration (measured best: scan:2)")
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (hosts without an attached TPU; "
                         "the JAX_PLATFORMS env var alone is overridden by "

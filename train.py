@@ -60,7 +60,10 @@ def parse_args():
                         "26%% slower steady-state (55.2 vs 43.9 ms/step) — "
                         "use for dev iteration; keep 'unroll' for long "
                         "production runs. 'scan:<k>' unrolls k blocks per "
-                        "scan iteration (middle ground, see BENCH_NOTES).")
+                        "scan iteration; measured best: scan:2 (52.2 "
+                        "ms/step, 14.7 s warm start, 22.6 MB cache entry — "
+                        "beats plain scan on both axes; k>2 buys nothing, "
+                        "see BENCH_NOTES).")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize WDSR blocks (activation-memory saver)")
     p.add_argument("--staged-decay", action="store_true")
